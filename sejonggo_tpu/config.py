@@ -1,0 +1,164 @@
+"""Typed configuration for sejonggo-tpu.
+
+Replaces the reference's single mutable module-level dict (reference
+conf.py:3-106) with frozen dataclasses.  Board size is NOT process-global
+here: it is a static shape parameter threaded through jitted functions.
+
+Default values mirror the reference's conf.py so behavior/parity configs
+are easy to construct; TPU-oriented configs override them.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GoConfig:
+    """Board/game parameters (reference conf.py:33-34)."""
+
+    size: int = 19
+    komi: float = 5.5
+
+    @property
+    def num_actions(self) -> int:
+        return self.size * self.size + 1  # + pass
+
+    @property
+    def max_moves(self) -> int:
+        # Reference move cap: 2 * SIZE^2 (self_play.py:181)
+        return 2 * self.size * self.size
+
+
+@dataclasses.dataclass(frozen=True)
+class NetConfig:
+    """AlphaZero residual network (reference conf.py:23, model.py:55-95)."""
+
+    blocks: int = 20
+    filters: int = 256
+    value_hidden: int = 256
+    policy_filters: int = 2
+    value_filters: int = 2
+    l2: float = 1e-4           # reference conf.py:24
+    # TPU-native: compute in bfloat16 on the MXU, params in float32.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    """MCTS parameters (reference conf.py:29-38, play.py:18)."""
+
+    simulations: int = 1600       # MCTS_SIMULATIONS
+    batch_size: int = 100         # MCTS_BATCH_SIZE: leaves per NN call
+    c_puct: float = 1.0           # play.py:18
+    dirichlet_alpha: float = 0.03
+    dirichlet_epsilon: float = 0.25
+    # Reference backup adds the root-perspective value without per-level
+    # negamax sign flips (self_play.py:84-92).  negamax=True is the
+    # game-theoretically-correct AlphaZero backup; False replicates the
+    # reference exactly (pinned by its MCTS unit tests).
+    negamax: bool = False
+    # Reference records the (noisy, masked) PRIOR as the policy training
+    # target (self_play.py:203-205).  'visits' is the AlphaZero-correct
+    # normalized-visit-count target.
+    policy_target: str = "prior"  # 'prior' | 'visits'
+    # Random D4 symmetry around every inference (reference symmetry.py:127).
+    use_symmetry: bool = True
+    # Node capacity of the array tree; 0 = auto (simulations + slack).
+    max_nodes: int = 0
+
+    @property
+    def rounds(self) -> int:
+        return self.simulations // self.batch_size
+
+    def capacity(self) -> int:
+        if self.max_nodes:
+            return self.max_nodes
+        # one node per simulation + root + reuse slack
+        return self.simulations + self.batch_size + 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SelfPlayConfig:
+    """Self-play parameters (reference conf.py:27-40)."""
+
+    num_games: int = 5000          # N_GAMES
+    stop_exploration: int = 30     # STOP_EXPLORATION (temperature -> 0)
+    resignation_percent: float = 0.10
+    resignation_allowed_error: float = 0.05
+    # Number of games stepped in lockstep on device (the TPU-native
+    # replacement for N_GAME_PROCESS=32 worker processes, conf.py:30).
+    game_batch: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training schedule (reference conf.py:43-49, model.py:93)."""
+
+    batch_size: int = 32           # TRAIN_BATCH_SIZE
+    iters_per_epoch: int = 64      # NUM_WORKERS (misnamed in reference)
+    epochs_per_save: int = 300     # EPOCHS_PER_SAVE
+    lr: float = 1e-2
+    momentum: float = 0.9
+    replay_window: int = 500_000   # N_MOST_RECENT_GAMES
+    # 'reference' applies mse+crossentropy to BOTH heads (model.py:49-52
+    # quirk); 'agz' is crossentropy(policy) + mse(value).
+    loss_mode: str = "agz"
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Evaluator gating (reference conf.py:52-53, evaluator.py:23-47)."""
+
+    num_games: int = 100           # EVALUATE_N_GAMES
+    margin: float = 0.55           # EVALUATE_MARGIN
+
+
+@dataclasses.dataclass(frozen=True)
+class DistConfig:
+    """Device-mesh layout (replaces reference conf.py:57-82 host lists)."""
+
+    # Data-parallel axis over which self-play games and train batches are
+    # sharded.  0 = use all visible devices.
+    dp: int = 0
+    mesh_axis_name: str = "dp"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    go: GoConfig = dataclasses.field(default_factory=GoConfig)
+    net: NetConfig = dataclasses.field(default_factory=NetConfig)
+    search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
+    selfplay: SelfPlayConfig = dataclasses.field(default_factory=SelfPlayConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    dist: DistConfig = dataclasses.field(default_factory=DistConfig)
+    model_dir: str = "sp_models"
+    selfplay_dir: str = "sp_self_play_data"
+    eval_dir: str = "sp_eval_games"
+    log_dir: str = "logs"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def small_9x9(**overrides) -> Config:
+    """9x9 test/bring-up config (mirrors reference test/tests.py:5-6)."""
+    cfg = Config(
+        go=GoConfig(size=9, komi=5.5),
+        net=NetConfig(blocks=4, filters=64, value_hidden=64,
+                      compute_dtype="float32"),
+        search=SearchConfig(simulations=64, batch_size=8),
+        selfplay=SelfPlayConfig(num_games=16, stop_exploration=8,
+                                game_batch=8),
+        train=TrainConfig(batch_size=32, iters_per_epoch=8,
+                          epochs_per_save=2, replay_window=512),
+        eval=EvalConfig(num_games=8),
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def full_19x19(**overrides) -> Config:
+    """Full-scale 19x19 config matching the reference's deployment."""
+    cfg = Config()
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
