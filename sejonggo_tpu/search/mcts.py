@@ -1,0 +1,304 @@
+"""Batched MCTS with the reference's frontier-batched search semantics.
+
+Replicates reference ``simulate`` (self_play.py:28-120) on array trees:
+
+1. descend from the root along the top-1 PUCT chain to the frontier —
+   the first node whose best child is unexpanded (self_play.py:30-33 +
+   the tail recursion at :117-120);
+2. take the top-k PUCT actions AT the frontier (play.py:337-352);
+3. walk each action through already-expanded children via top-1 PUCT
+   (play.py:325-335, self_play.py:45-62) to its unexpanded leaf edge;
+4. evaluate all k leaf boards in ONE batched network call
+   (self_play.py:70) — across B games that's a single (B*k) device
+   batch, which is what dissolves the reference's prediction-queue
+   process layer (predicting_queue_worker.py);
+5. expand each leaf (new_subtree, self_play.py:105) and back up
+   count/value along its path (self_play.py:84-92,108-116).
+
+PUCT: u = c_puct * P * sqrt(sum_b N_b) / (1 + N_a), score = Q + u with
+Q = W/N (0 when unvisited), ties broken toward the lower action index —
+matching the reference's stable insertion-ordered sort.
+
+Value perspective: by default (negamax=False) values are backed up in
+the ROOT player's perspective without per-level sign flips, exactly as
+the reference does (self_play.py:100-116; pinned by its MCTS unit
+tests).  negamax=True is the game-theoretically-standard AlphaZero
+backup, available for strength-oriented configs.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sejonggo_tpu.goenv import engine
+from sejonggo_tpu.goenv.symmetry import random_symmetry_predict
+from sejonggo_tpu.search.tree import Tree
+
+
+def _puct_scores(tree: Tree, n, c_puct: float):
+    cn = tree.child_N[n].astype(jnp.float32)
+    total = jnp.sqrt(jnp.sum(cn))
+    total = jnp.where(total == 0, 1.0, total)
+    q = jnp.where(cn > 0, tree.child_W[n] / jnp.maximum(cn, 1.0), 0.0)
+    u = c_puct * tree.node_P[n] * total / (1.0 + cn)
+    return jnp.where(tree.node_legal[n], q + u, -jnp.inf)
+
+
+def _find_frontier(tree: Tree, c_puct: float):
+    """First node along the top-1 PUCT chain whose best child is unexpanded."""
+
+    def cond(state):
+        return ~state[1]
+
+    def body(state):
+        n, _ = state
+        a = jnp.argmax(_puct_scores(tree, n, c_puct)).astype(jnp.int32)
+        c = tree.child_idx[n, a]
+        return jnp.where(c < 0, n, c), c < 0
+
+    n, _ = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+    return n
+
+
+def _walk_to_leaf(tree: Tree, p, a, c_puct: float):
+    """Descend through expanded children via top-1 PUCT until the edge
+    (p, a) has no expanded child; that's the leaf to expand."""
+
+    def cond(state):
+        return ~state[2]
+
+    def body(state):
+        p, a, _ = state
+        c = tree.child_idx[p, a]
+        stop = c < 0
+        cc = jnp.maximum(c, 0)
+        a2 = jnp.argmax(_puct_scores(tree, cc, c_puct)).astype(jnp.int32)
+        return (
+            jnp.where(stop, p, cc),
+            jnp.where(stop, a, a2),
+            stop,
+        )
+
+    p, a, _ = lax.while_loop(cond, body, (p, a, jnp.asarray(False)))
+    return p, a
+
+
+def _collect_leaves(tree: Tree, k: int, c_puct: float):
+    """Phase 1 of a round: pick k leaf edges + their boards."""
+    f = _find_frontier(tree, c_puct)
+    scores = _puct_scores(tree, f, c_puct)
+    actions = jnp.argsort(-scores)[:k].astype(jnp.int32)  # stable: ties -> low action
+    active = scores[actions] > -jnp.inf
+    leaf_p, leaf_a = jax.vmap(lambda a: _walk_to_leaf(tree, f, a, c_puct))(actions)
+    leaf_boards = jax.vmap(engine.step)(tree.node_board[leaf_p], leaf_a)
+    return leaf_p, leaf_a, leaf_boards, active
+
+
+def _expand_backup(tree: Tree, leaf_p, leaf_a, leaf_boards, active,
+                   policies, values, negamax: bool):
+    """Phase 3: allocate nodes for the k leaves, set priors/legality,
+    wire child pointers, and back up values along each path."""
+    k = leaf_p.shape[0]
+    base = tree.n_nodes
+    slots = base + jnp.arange(k, dtype=jnp.int32)
+
+    legal = jax.vmap(lambda b: ~engine.illegal_moves_mask(b))(leaf_boards)
+
+    node_board = tree.node_board.at[slots].set(leaf_boards)
+    node_P = tree.node_P.at[slots].set(policies)
+    node_legal = tree.node_legal.at[slots].set(legal & active[:, None])
+    parent = tree.parent.at[slots].set(jnp.where(active, leaf_p, 0))
+    parent_action = tree.parent_action.at[slots].set(jnp.where(active, leaf_a, -1))
+    child_idx = tree.child_idx.at[leaf_p, leaf_a].set(
+        jnp.where(active, slots, tree.child_idx[leaf_p, leaf_a]))
+
+    # value sign: reference self_play.py:100-102 — leaf value is flipped
+    # into the root player's perspective by comparing side-to-move.
+    root_player = tree.node_board[0][0, 0, 16]
+    leaf_player = leaf_boards[:, 0, 0, 16]
+    v = values.reshape(k)
+    if negamax:
+        # edge value from the perspective of the mover at the edge's parent
+        init_vals = -v
+    else:
+        init_vals = jnp.where(leaf_player == root_player, v, -v)
+
+    def climb_one(i, carry):
+        cn, cw, rn, rw = carry
+
+        def cond(state):
+            return ~state[5]
+
+        def body(state):
+            p, a, val, cn, cw, _ = state
+            cn = cn.at[p, a].add(1)
+            cw = cw.at[p, a].add(val)
+            done = p == 0
+            nval = -val if negamax else val
+            return parent[p], parent_action[p], nval, cn, cw, done
+
+        state = (leaf_p[i], leaf_a[i], init_vals[i], cn, cw, ~active[i])
+        p, a, val, cn, cw, _ = lax.while_loop(cond, body, state)
+        # reference backs the same value into the (parentless) root node too
+        # (self_play.py:108-116); in negamax mode `val` holds the value one
+        # flip past the last (root-level) edge, which is the opponent-of-root
+        # perspective — flip back.
+        root_val = -val if negamax else val
+        rn = rn + jnp.where(active[i], 1, 0)
+        rw = rw + jnp.where(active[i], root_val, 0.0)
+        return cn, cw, rn, rw
+
+    cn, cw, rn, rw = lax.fori_loop(
+        0, k, climb_one, (tree.child_N, tree.child_W, tree.root_N, tree.root_W))
+
+    return tree._replace(
+        node_board=node_board, node_P=node_P, node_legal=node_legal,
+        child_N=cn, child_W=cw, child_idx=child_idx,
+        parent=parent, parent_action=parent_action,
+        n_nodes=tree.n_nodes + k, root_N=rn, root_W=rw,
+    )
+
+
+def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
+                   c_puct: float = 1.0, negamax: bool = False,
+                   use_symmetry: bool = False):
+    """One search round over a batch of B trees: one network call total."""
+    k = batch_size
+    leaf_p, leaf_a, leaf_boards, active = jax.vmap(
+        partial(_collect_leaves, k=k, c_puct=c_puct))(trees)
+    b = leaf_p.shape[0]
+    flat = leaf_boards.reshape((b * k,) + leaf_boards.shape[2:]).astype(jnp.float32)
+    if use_symmetry:
+        policies, values = random_symmetry_predict(predict_fn, flat, rng)
+    else:
+        policies, values = predict_fn(flat)
+    policies = policies.reshape(b, k, -1)
+    values = values.reshape(b, k)
+    return jax.vmap(partial(_expand_backup, negamax=negamax))(
+        trees, leaf_p, leaf_a, leaf_boards, active, policies, values)
+
+
+def run_search(trees: Tree, predict_fn: Callable, rng, *, simulations: int,
+               batch_size: int, c_puct: float = 1.0, negamax: bool = False,
+               use_symmetry: bool = False):
+    """simulations/batch_size rounds (reference mcts_decision
+    self_play.py:128-132)."""
+    rounds = simulations // batch_size
+
+    def body(_, carry):
+        trees, rng = carry
+        rng, sub = jax.random.split(rng)
+        trees = simulate_round(
+            trees, predict_fn, sub, batch_size=batch_size, c_puct=c_puct,
+            negamax=negamax, use_symmetry=use_symmetry)
+        return trees, rng
+
+    trees, _ = lax.fori_loop(0, rounds, body, (trees, rng))
+    return trees
+
+
+def _decide(tree: Tree, greedy, rng):
+    """Select the move at the root.
+
+    temperature 1 (greedy=False): sample proportional to visit counts
+    (reference self_play.py:138-149).  temperature 0 (greedy=True):
+    lexicographic max over (count, mean_value, action) — largest action
+    index wins ties, replicating reference self_play.py:151.
+    """
+    counts = tree.child_N[0]
+    a = counts.shape[0]
+    logits = jnp.where(counts > 0, jnp.log(counts.astype(jnp.float32)), -jnp.inf)
+    sampled = jax.random.categorical(rng, logits).astype(jnp.int32)
+
+    c = jnp.where(tree.node_legal[0], counts, -1)
+    maxc = jnp.max(c)
+    m1 = c == maxc
+    mean = jnp.where(counts > 0, tree.child_W[0] / jnp.maximum(counts, 1), 0.0)
+    mv = jnp.where(m1, mean, -jnp.inf)
+    m2 = m1 & (mv == jnp.max(mv))
+    greedy_a = jnp.max(jnp.where(m2, jnp.arange(a, dtype=jnp.int32), -1))
+
+    sampled = jnp.where(jnp.max(counts) > 0, sampled, greedy_a)
+    return jnp.where(greedy, greedy_a, sampled)
+
+
+def decide_batch(trees: Tree, greedy, rng):
+    """greedy: (B,) bool — per-game temperature-0 flag."""
+    b = greedy.shape[0]
+    rngs = jax.random.split(rng, b)
+    return jax.vmap(_decide)(trees, greedy, rngs)
+
+
+def policy_target_batch(trees: Tree, mode: str = "prior"):
+    """Training policy target from the root.
+
+    'prior' replicates the reference exactly (self_play.py:203-205
+    records the child PRIORS — including root Dirichlet noise — not
+    visit counts); 'visits' is the AlphaZero-standard normalized count
+    target.
+    """
+    legal = trees.node_legal[:, 0]
+    if mode == "prior":
+        return jnp.where(legal, trees.node_P[:, 0], 0.0)
+    counts = jnp.where(legal, trees.child_N[:, 0], 0).astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(counts, -1, keepdims=True), 1.0)
+    return counts / total
+
+
+def _advance_root(tree: Tree, action):
+    """Re-root the tree at child `action` (reference tree reuse,
+    self_play.py:224-238: step into the chosen child and cut the
+    parent), compacting surviving nodes to the front of the arrays.
+
+    Returns (tree, valid); when the child was never expanded valid is
+    False and the caller must build a fresh tree (reference
+    self_play.py:195-196).
+    """
+    c = tree.parent.shape[0]
+    new_root = tree.child_idx[0, action]
+    valid = new_root >= 0
+    nr = jnp.maximum(new_root, 0)
+
+    idxs = jnp.arange(c, dtype=jnp.int32)
+    keep = idxs == nr
+    anc = tree.parent
+    for _ in range(max(1, math.ceil(math.log2(max(c, 2)))) + 1):
+        keep = keep | keep[anc]
+        anc = anc[anc]
+
+    new_idx = (jnp.cumsum(keep) - 1).astype(jnp.int32)
+    order = jnp.argsort(jnp.where(keep, idxs, c + idxs))
+    n_new = jnp.sum(keep).astype(jnp.int32)
+    live = idxs < n_new
+
+    def g(arr):
+        return arr[order]
+
+    ci = g(tree.child_idx)
+    ci = jnp.where((ci >= 0) & live[:, None], new_idx[ci], -1)
+    par = jnp.where(live, new_idx[g(tree.parent)], 0).at[0].set(0)
+    pa = jnp.where(live, g(tree.parent_action), -1).at[0].set(-1)
+
+    out = Tree(
+        node_board=g(tree.node_board),
+        node_P=jnp.where(live[:, None], g(tree.node_P), 0.0),
+        node_legal=g(tree.node_legal) & live[:, None],
+        child_N=jnp.where(live[:, None], g(tree.child_N), 0),
+        child_W=jnp.where(live[:, None], g(tree.child_W), 0.0),
+        child_idx=ci,
+        parent=par,
+        parent_action=pa,
+        n_nodes=jnp.maximum(n_new, 1),
+        root_N=tree.child_N[0, action],
+        root_W=tree.child_W[0, action],
+    )
+    return out, valid
+
+
+def advance_root_batch(trees: Tree, actions):
+    return jax.vmap(_advance_root)(trees, actions)

@@ -1,0 +1,104 @@
+"""Array-backed MCTS tree state.
+
+TPU-native replacement for the reference's nested-dict trees
+(play.py:376-421: {index, count, value, mean_value, p, subtree, parent}).
+A batch of B trees is a pytree of preallocated arrays with a leading
+batch axis, so thousands of trees advance in lockstep per device step.
+
+Statistics live on EDGES (parent node, action) rather than child nodes:
+``child_N``/``child_W`` are the reference's per-child count/value,
+``child_idx`` points to the child's node slot once that child has been
+expanded (-1 before).  Node slots are allocated only for expanded nodes
+(the reference's "subtree != {}" nodes); the root is slot 0 and carries
+its own (count, value) in ``root_N``/``root_W``.
+
+Each expanded node stores its full board state, so expanding a child is
+exactly one env step from the parent's stored board — no path replay
+(the reference replays the whole move path per simulation,
+self_play.py:41-66).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sejonggo_tpu.goenv import engine
+
+
+class Tree(NamedTuple):
+    """One MCTS tree (batch via leading axis on every field).
+
+    C = node capacity, A = actions (N*N+1), board planes int8.
+    """
+
+    node_board: jnp.ndarray   # (C, N, N, 17) int8 — board at each node
+    node_P: jnp.ndarray       # (C, A) f32 — priors (raw masked policy)
+    node_legal: jnp.ndarray   # (C, A) bool
+    child_N: jnp.ndarray      # (C, A) i32 — edge visit counts
+    child_W: jnp.ndarray      # (C, A) f32 — edge value sums
+    child_idx: jnp.ndarray    # (C, A) i32 — child slot or -1
+    parent: jnp.ndarray       # (C,) i32 — parent slot (root: 0)
+    parent_action: jnp.ndarray  # (C,) i32 — action from parent (root: -1)
+    n_nodes: jnp.ndarray      # () i32 — allocated slots
+    root_N: jnp.ndarray       # () i32 — root visit count
+    root_W: jnp.ndarray       # () f32 — root value sum
+
+
+def tree_capacity(simulations: int, batch_size: int) -> int:
+    """Node slots needed: one per simulation + root + one round of slack."""
+    return simulations + batch_size + 2
+
+
+def _empty_tree(capacity: int, size: int) -> Tree:
+    a = size * size + 1
+    return Tree(
+        node_board=jnp.zeros((capacity, size, size, engine.NUM_PLANES), jnp.int8),
+        node_P=jnp.zeros((capacity, a), jnp.float32),
+        node_legal=jnp.zeros((capacity, a), bool),
+        child_N=jnp.zeros((capacity, a), jnp.int32),
+        child_W=jnp.zeros((capacity, a), jnp.float32),
+        child_idx=jnp.full((capacity, a), -1, jnp.int32),
+        parent=jnp.zeros((capacity,), jnp.int32),
+        parent_action=jnp.full((capacity,), -1, jnp.int32),
+        n_nodes=jnp.asarray(1, jnp.int32),
+        root_N=jnp.asarray(0, jnp.int32),
+        root_W=jnp.asarray(0.0, jnp.float32),
+    )
+
+
+def _new_tree(policy, board, capacity: int, noise, epsilon: float) -> Tree:
+    """Fresh tree rooted at `board` with root priors from `policy`.
+
+    Mirrors reference new_tree/new_subtree (play.py:376-421): priors are
+    the raw policy (no renormalization after masking); when `noise` is
+    given (self-play), root priors are (1-eps)*p + eps*Dirichlet over
+    the full action vector (play.py:399-403).  Illegal actions keep a
+    prior slot but are excluded from selection by node_legal.
+    """
+    size = board.shape[-3]
+    tree = _empty_tree(capacity, size)
+    legal = ~engine.illegal_moves_mask(board)
+    p = policy
+    if noise is not None:
+        p = (1.0 - epsilon) * p + epsilon * noise
+    return tree._replace(
+        node_board=tree.node_board.at[0].set(board),
+        node_P=tree.node_P.at[0].set(p),
+        node_legal=tree.node_legal.at[0].set(legal),
+    )
+
+
+def new_tree_batch(policies, boards, capacity: int, rng=None,
+                   dirichlet_alpha: float = 0.03, epsilon: float = 0.25) -> Tree:
+    """Create B fresh trees; `rng` enables root Dirichlet noise (self-play)."""
+    b = boards.shape[0]
+    a = policies.shape[-1]
+    if rng is not None:
+        noise = jax.random.dirichlet(
+            rng, jnp.full((a,), dirichlet_alpha, jnp.float32), (b,))
+        return jax.vmap(lambda p, bd, nz: _new_tree(p, bd, capacity, nz, epsilon))(
+            policies, boards, noise)
+    return jax.vmap(lambda p, bd: _new_tree(p, bd, capacity, None, epsilon))(
+        policies, boards)

@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_sejonggo")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import pytest  # noqa: E402
 
 REFERENCE_PATH = "/root/reference"

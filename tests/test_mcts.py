@@ -1,0 +1,265 @@
+"""MCTS tests, ported from reference test/tests.py:684-1068 (hand-built
+trees + simulate assertions) onto the array-backed batched tree.
+
+The reference's dict trees with explicit children map onto array trees
+whose root priors put the same mass on the same actions; children the
+reference omits from the dict appear here with prior 0 and are only
+selected on exact score ties (stable order -> lowest action), which
+reproduces the reference's insertion-order behavior for these cases.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sejonggo_tpu.goenv import engine
+from sejonggo_tpu.nets import dummy_predict_fn
+from sejonggo_tpu.search import (
+    Tree,
+    advance_root_batch,
+    decide_batch,
+    new_tree_batch,
+    policy_target_batch,
+    run_search,
+    simulate_round,
+)
+from sejonggo_tpu.search.mcts import _collect_leaves
+
+SIZE = 9
+A = SIZE * SIZE + 1
+CAP = 64
+
+
+def _scatter_policy(pairs):
+    p = np.zeros(A, np.float32)
+    for action, prob in pairs.items():
+        p[action] = prob
+    return jnp.asarray(p)
+
+
+def build_tree(root_children, board=None, capacity=CAP):
+    """Build a (B=1) tree from {action: (p, {action: p, ...})} specs:
+    root children with priors, each optionally expanded with its own
+    children priors (stats all zero, like the reference's fixtures)."""
+    if board is None:
+        board = engine.init_board(SIZE)
+    policies = _scatter_policy({a: v[0] for a, v in root_children.items()})[None]
+    tree = new_tree_batch(policies, board[None], capacity)
+    # expand requested children manually
+    slot = 1
+    for action, (p, sub) in root_children.items():
+        if sub is None:
+            continue
+        child_board = engine.step(board, action)
+        legal = ~engine.illegal_moves_mask(child_board)
+        tree = tree._replace(
+            node_board=tree.node_board.at[0, slot].set(child_board),
+            node_P=tree.node_P.at[0, slot].set(_scatter_policy(sub)),
+            node_legal=tree.node_legal.at[0, slot].set(legal),
+            parent=tree.parent.at[0, slot].set(0),
+            parent_action=tree.parent_action.at[0, slot].set(action),
+            child_idx=tree.child_idx.at[0, 0, action].set(slot),
+            n_nodes=tree.n_nodes.at[0].set(slot + 1),
+        )
+        slot += 1
+    return tree
+
+
+def one_round(tree, batch_size, predict_fn=dummy_predict_fn):
+    return simulate_round(
+        tree, predict_fn, jax.random.PRNGKey(0), batch_size=batch_size)
+
+
+def test_leaf():
+    # reference tests.py:731-745
+    tree = build_tree({0: (1.0, None), 1: (0.0, None)})
+    tree = one_round(tree, batch_size=2)
+    assert int(tree.child_N[0, 0, 0]) == 1
+    assert int(tree.child_N[0, 0, 1]) == 1
+    assert float(tree.child_W[0, 0, 0]) == -1
+    assert float(tree.child_W[0, 0, 1]) == -1
+    assert int(tree.root_N[0]) == 2
+    assert float(tree.root_W[0]) == -2
+
+
+def test_model_evaluation_boards():
+    # reference tests.py:747-774: exactly boards [move 0, move 1] reach the net
+    tree = build_tree({0: (1.0, None), 1: (0.0, None)})
+    leaf_p, leaf_a, leaf_boards, active = jax.vmap(
+        lambda t: _collect_leaves(t, 2, 1.0))(tree)
+    b0 = engine.step(engine.init_board(SIZE), 0)
+    b1 = engine.step(engine.init_board(SIZE), 1)
+    assert np.array_equal(np.asarray(leaf_boards[0, 0]), np.asarray(b0))
+    assert np.array_equal(np.asarray(leaf_boards[0, 1]), np.asarray(b1))
+    assert np.all(np.asarray(active))
+
+
+def test_model_evaluation_nested_boards():
+    # reference tests.py:776-850: frontier inside child 0; leaves are
+    # [move0+move1, move0+move2] in that order
+    tree = build_tree({0: (1.0, {1: 1.0, 2: 0.0}), 1: (0.0, None)})
+    _, _, leaf_boards, active = jax.vmap(
+        lambda t: _collect_leaves(t, 2, 1.0))(tree)
+    b01 = engine.step(engine.step(engine.init_board(SIZE), 0), 1)
+    b02 = engine.step(engine.step(engine.init_board(SIZE), 0), 2)
+    assert np.array_equal(np.asarray(leaf_boards[0, 0]), np.asarray(b01))
+    assert np.array_equal(np.asarray(leaf_boards[0, 1]), np.asarray(b02))
+
+
+def test_model_evaluation_other_nested_boards():
+    # reference tests.py:852-924: leaves [move0, move1+move0]
+    tree = build_tree({0: (1.0, None), 1: (0.0, {0: 0.0, 2: 1.0})})
+    _, _, leaf_boards, _ = jax.vmap(
+        lambda t: _collect_leaves(t, 2, 1.0))(tree)
+    b0 = engine.step(engine.init_board(SIZE), 0)
+    b12 = engine.step(engine.step(engine.init_board(SIZE), 1), 2)
+    assert np.array_equal(np.asarray(leaf_boards[0, 0]), np.asarray(b0))
+    assert np.array_equal(np.asarray(leaf_boards[0, 1]), np.asarray(b12))
+
+
+def test_small_batch_size():
+    # reference tests.py:926-938
+    tree = build_tree({0: (1.0, None), 1: (0.0, None)})
+    tree = one_round(tree, batch_size=1)
+    assert int(tree.child_N[0, 0, 0]) == 1
+    assert float(tree.child_W[0, 0, 0]) == -1
+    assert int(tree.child_idx[0, 0, 0]) >= 0  # expanded
+    assert int(tree.child_N[0, 0, 1]) == 0
+    assert float(tree.child_W[0, 0, 1]) == 0
+    assert int(tree.child_idx[0, 0, 1]) < 0  # not expanded
+
+
+def test_nested_selected():
+    # reference tests.py:940-996
+    tree = build_tree({0: (1.0, {1: 0.0, 2: 1.0}), 1: (0.0, None)})
+    tree = one_round(tree, batch_size=2)
+    node0 = int(tree.child_idx[0, 0, 0])
+    assert int(tree.child_N[0, 0, 0]) == 2
+    assert int(tree.child_N[0, node0, 1]) == 1
+    assert int(tree.child_N[0, node0, 2]) == 1
+    assert int(tree.child_N[0, 0, 1]) == 0
+    assert float(tree.child_W[0, 0, 0]) == 2
+    assert float(tree.child_W[0, 0, 0]) / int(tree.child_N[0, 0, 0]) == 1
+    assert float(tree.child_W[0, 0, 1]) == 0
+
+
+def test_nested_other_leaves():
+    # reference tests.py:998-1068
+    tree = build_tree(
+        {0: (0.75, None), 1: (0.25, {0: 1.0, 2: 0.0}), 2: (0.0, None)})
+    tree = one_round(tree, batch_size=2)
+    node1 = int(tree.child_idx[0, 0, 1])
+    assert int(tree.child_N[0, 0, 0]) == 1
+    assert float(tree.child_W[0, 0, 0]) == -1
+    assert float(tree.child_W[0, 0, 1]) == 1
+    assert int(tree.child_N[0, 0, 1]) == 1
+    assert int(tree.child_N[0, node1, 0]) == 1
+    assert float(tree.child_W[0, node1, 0]) == 1
+    assert int(tree.child_N[0, node1, 2]) == 0
+    assert int(tree.root_N[0]) == 2
+    assert float(tree.root_W[0]) == 0
+    assert int(tree.child_N[0, 0, 2]) == 0
+    assert int(tree.child_idx[0, 0, 2]) < 0
+
+
+def test_run_search_visit_budget():
+    """After R rounds of batch k from a fresh tree the root has R*k
+    visits (the reference's 1 + sims/batch NN-call contract is the
+    per-round single predict in simulate_round)."""
+    boards = jnp.stack([engine.init_board(SIZE)] * 2)
+    policies, _ = dummy_predict_fn(boards)
+    tree = new_tree_batch(policies, boards, CAP)
+    tree = run_search(tree, dummy_predict_fn, jax.random.PRNGKey(1),
+                      simulations=16, batch_size=4)
+    assert np.all(np.asarray(tree.root_N) == 16)
+    assert np.all(np.asarray(tree.child_N[:, 0].sum(-1)) == 16)
+    assert np.all(np.asarray(tree.n_nodes) == 1 + 16)
+
+
+def test_decide_greedy_and_sampling():
+    tree = build_tree({0: (1.0, None), 1: (0.0, None)})
+    tree = one_round(tree, batch_size=2)
+    # make child 1 strictly better-visited
+    tree = tree._replace(child_N=tree.child_N.at[0, 0, 1].set(10))
+    greedy = jnp.array([True])
+    a = decide_batch(tree, greedy, jax.random.PRNGKey(0))
+    assert int(a[0]) == 1
+    # sampling only ever returns visited children
+    for s in range(5):
+        a = decide_batch(tree, jnp.array([False]), jax.random.PRNGKey(s))
+        assert int(a[0]) in (0, 1)
+
+
+def test_greedy_tie_breaks_by_mean_then_action():
+    tree = build_tree({0: (1.0, None), 1: (0.0, None)})
+    # equal counts, child 0 higher mean -> choose 0
+    tree = tree._replace(
+        child_N=tree.child_N.at[0, 0, :2].set(jnp.array([5, 5])),
+        child_W=tree.child_W.at[0, 0, :2].set(jnp.array([3.0, 1.0])),
+    )
+    a = decide_batch(tree, jnp.array([True]), jax.random.PRNGKey(0))
+    assert int(a[0]) == 0
+    # equal counts and means -> larger action index (reference
+    # max((count, mean_value, a)) self_play.py:151)
+    tree = tree._replace(child_W=tree.child_W.at[0, 0, :2].set(jnp.array([1.0, 1.0])))
+    a = decide_batch(tree, jnp.array([True]), jax.random.PRNGKey(0))
+    assert int(a[0]) == 1
+
+
+def test_policy_target_modes():
+    boards = jnp.stack([engine.init_board(SIZE)])
+    policies, _ = dummy_predict_fn(boards)
+    tree = new_tree_batch(policies, boards, CAP)
+    tree = run_search(tree, dummy_predict_fn, jax.random.PRNGKey(0),
+                      simulations=8, batch_size=4)
+    prior = np.asarray(policy_target_batch(tree, "prior"))
+    visits = np.asarray(policy_target_batch(tree, "visits"))
+    assert np.allclose(prior[0], np.asarray(policies[0]))  # no noise here
+    assert np.isclose(visits.sum(), 1.0)
+    assert np.all(visits >= 0)
+
+
+def test_advance_root_reuse():
+    """Tree reuse: stats of the chosen child become the new root's and
+    its subtree survives compaction (reference self_play.py:224-238)."""
+    boards = jnp.stack([engine.init_board(SIZE)])
+    policies, _ = dummy_predict_fn(boards)
+    tree = new_tree_batch(policies, boards, CAP)
+    tree = run_search(tree, dummy_predict_fn, jax.random.PRNGKey(0),
+                      simulations=16, batch_size=4)
+    counts = np.asarray(tree.child_N[0, 0])
+    action = int(counts.argmax())
+    old_child_count = int(tree.child_N[0, 0, action])
+    old_child_node = int(tree.child_idx[0, 0, action])
+    old_grandchildren = np.asarray(tree.child_N[0, old_child_node])
+
+    new_tree, valid = advance_root_batch(tree, jnp.array([action]))
+    assert bool(valid[0])
+    assert int(new_tree.root_N[0]) == old_child_count
+    assert np.array_equal(np.asarray(new_tree.child_N[0, 0]), old_grandchildren)
+    # root board advanced by the action
+    expected = engine.step(engine.init_board(SIZE), action)
+    assert np.array_equal(np.asarray(new_tree.node_board[0, 0]), np.asarray(expected))
+    # search continues to work on the re-rooted tree
+    new_tree = run_search(new_tree, dummy_predict_fn, jax.random.PRNGKey(2),
+                          simulations=8, batch_size=4)
+    assert int(new_tree.root_N[0]) == old_child_count + 8
+
+
+def test_advance_root_unexpanded_is_invalid():
+    boards = jnp.stack([engine.init_board(SIZE)])
+    policies, _ = dummy_predict_fn(boards)
+    tree = new_tree_batch(policies, boards, CAP)
+    _, valid = advance_root_batch(tree, jnp.array([5]))
+    assert not bool(valid[0])
+
+
+def test_dirichlet_noise_applied_at_root():
+    boards = jnp.stack([engine.init_board(SIZE)] * 2)
+    policies, _ = dummy_predict_fn(boards)
+    noisy = new_tree_batch(policies, boards, CAP, rng=jax.random.PRNGKey(0))
+    clean = new_tree_batch(policies, boards, CAP)
+    assert not np.allclose(np.asarray(noisy.node_P[:, 0]), np.asarray(clean.node_P[:, 0]))
+    # mixing: (1-eps)*p + eps*noise stays a distribution over all actions
+    assert np.allclose(np.asarray(noisy.node_P[:, 0].sum(-1)), 1.0, atol=1e-5)
+    # different games draw different noise
+    assert not np.allclose(np.asarray(noisy.node_P[0, 0]), np.asarray(noisy.node_P[1, 0]))
