@@ -1,0 +1,78 @@
+"""Self-play throughput benchmark (driver-run on real TPU hardware).
+
+Headline metric: self-play env-steps/s on 9x9 — each MCTS simulation
+expands one leaf = one vectorized env step, evaluated by the real
+policy/value network; a recorded game move costs `simulations` env
+steps.  Baseline: the reference publishes no numbers (BASELINE.md), so
+vs_baseline is measured against the self-defined 100k env-steps/s/chip
+north star from BASELINE.json.
+
+Prints ONE JSON line to stdout.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sejonggo_tpu.config import NetConfig, SearchConfig
+    from sejonggo_tpu.actor.selfplay import _make_move_step
+    from sejonggo_tpu.nets import AZNet, init_variables, make_predict_fn
+    from sejonggo_tpu.search import new_tree_batch
+
+    size = 9
+    game_batch = 64
+    search = SearchConfig(simulations=64, batch_size=16, use_symmetry=True)
+    net = AZNet.from_config(
+        size, NetConfig(blocks=4, filters=64, value_hidden=64,
+                        compute_dtype="bfloat16"))
+    variables = init_variables(net, jax.random.PRNGKey(0))
+    predict = make_predict_fn(net)
+
+    move_step = _make_move_step(predict, None, search, size, True)
+
+    from sejonggo_tpu.goenv import engine
+
+    b = game_batch
+    boards = jnp.stack([engine.init_board(size)] * b)
+    dummy_policy = jnp.zeros((b, size * size + 1), jnp.float32)
+    trees = new_tree_batch(dummy_policy, boards, search.capacity())
+    state = (boards, trees, jnp.zeros((b,), bool), None, None,
+             jnp.zeros((b,), bool), jnp.zeros((b,), bool),
+             jnp.ones((b,), bool))
+    greedy = jnp.zeros((b,), bool)
+    thresholds = jnp.full((b,), jnp.nan, jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    # warmup (compile)
+    rng, sub = jax.random.split(rng)
+    state, record, _ = move_step(state, sub, greedy, thresholds, variables, None)
+    jax.block_until_ready(record["values"])
+
+    n_moves = 8
+    t0 = time.perf_counter()
+    for _ in range(n_moves):
+        rng, sub = jax.random.split(rng)
+        state, record, _ = move_step(state, sub, greedy, thresholds,
+                                     variables, None)
+    jax.block_until_ready(record["values"])
+    dt = time.perf_counter() - t0
+
+    env_steps = game_batch * search.simulations * n_moves
+    value = env_steps / dt
+    baseline = 100_000.0  # BASELINE.json north star, env-steps/s/chip
+    print(json.dumps({
+        "metric": "selfplay_env_steps_per_s_9x9",
+        "value": round(value, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(value / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -86,22 +86,31 @@ def _tree_where(mask, a: Tree, b: Tree) -> Tree:
     return jax.tree.map(sel, a, b)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def _make_move_step(predict1: Callable, predict2: Optional[Callable],
                     search: SearchConfig, size: int, selfplay: bool):
-    """Build the jitted per-move function for a batch of games."""
-    num_actions = size * size + 1
+    """Build the jitted per-move function for a batch of games.
+
+    predict fns have signature (variables, boards_f32) -> (probs, values)
+    so network weights are traced arguments (no recompilation when the
+    checkpoint changes between generations).  Cached so repeated
+    play_games calls with the same configuration reuse the compiled step.
+    """
     cap = search.capacity()
 
-    def select_predict(model1_now):
+    def select_predict(model1_now, variables1, variables2):
         """predict_fn over flat leaf batches, routing per-game rows to
         the current model (evaluation mode runs both nets and selects;
         self-play uses one net)."""
         if predict2 is None:
-            return predict1
+            return lambda boards: predict1(variables1, boards)
 
         def both(flat_boards):
-            p1, v1 = predict1(flat_boards)
-            p2, v2 = predict2(flat_boards)
+            p1, v1 = predict1(variables1, flat_boards)
+            p2, v2 = predict2(variables2, flat_boards)
             reps = flat_boards.shape[0] // model1_now.shape[0]
             m = jnp.repeat(model1_now, reps)
             return (
@@ -112,7 +121,8 @@ def _make_move_step(predict1: Callable, predict2: Optional[Callable],
         return both
 
     @partial(jax.jit, donate_argnums=(0,))
-    def move_step(state, rng, greedy, resign_thresholds):
+    def move_step(state, rng, greedy, resign_thresholds, variables1,
+                  variables2):
         """One move for all B games.
 
         Self-play: one shared tree per game (reference other_mcts is the
@@ -128,7 +138,7 @@ def _make_move_step(predict1: Callable, predict2: Optional[Callable],
         model1_now = (player == 1) == model1_isblack
 
         rng, r_noise, r_search, r_decide = jax.random.split(rng, 4)
-        predict_fn = select_predict(model1_now)
+        predict_fn = select_predict(model1_now, variables1, variables2)
 
         feats = boards.astype(jnp.float32)
         policies, values = predict_fn(feats)
@@ -156,6 +166,12 @@ def _make_move_step(predict1: Callable, predict2: Optional[Callable],
         tree_fresh = move_valid & ~active_valid
         active = _tree_where(active_valid, active, fresh)
 
+        # keep the pre-search tree for frozen (done/resigning) games:
+        # the lockstep search still runs on them, and without this their
+        # never-re-rooted trees would grow by `simulations` nodes every
+        # iteration until the fixed arrays overflow
+        active_before = active
+
         active = run_search(
             active, predict_fn, r_search,
             simulations=search.simulations, batch_size=search.batch_size,
@@ -174,12 +190,13 @@ def _make_move_step(predict1: Callable, predict2: Optional[Callable],
         new_boards = jnp.where(
             move_valid.reshape(-1, 1, 1, 1), new_boards, boards)
 
-        adv_active, av = advance_root_batch(active, actions)
-        active = _tree_where(move_valid, adv_active, active)
+        reserve = search.simulations
+        adv_active, av = advance_root_batch(active, actions, reserve=reserve)
+        active = _tree_where(move_valid, adv_active, active_before)
         active_valid = jnp.where(move_valid, av, active_valid)
 
         if dual:
-            adv_other, ov = advance_root_batch(other, actions)
+            adv_other, ov = advance_root_batch(other, actions, reserve=reserve)
             other = _tree_where(move_valid & other_valid, adv_other, other)
             other_valid = jnp.where(move_valid, other_valid & ov, other_valid)
             trees1 = _tree_where(model1_now, active, other)
@@ -214,6 +231,8 @@ def play_games(
     search: SearchConfig,
     game_batch: int,
     rng,
+    variables1=None,
+    variables2=None,
     selfplay: bool = True,
     stop_exploration: int = 30,
     resign_thresholds=None,      # (B,) float, NaN = resignation off
@@ -222,8 +241,10 @@ def play_games(
 ) -> GameBatch:
     """Play B games to completion; returns stacked per-move records.
 
-    predict fns: boards_f32 (M, N, N, 17) -> (policy_probs (M, A),
-    values (M, 1)); must be jax-traceable (they are called inside jit).
+    predict fns: (variables, boards_f32 (M, N, N, 17)) ->
+    (policy_probs (M, A), values (M, 1)); must be jax-traceable (they
+    are called inside jit).  `variables*` are the network weights pytrees
+    passed through as traced arguments (None for stateless stubs).
     """
     b = game_batch
     if max_moves is None:
@@ -236,8 +257,11 @@ def play_games(
         model1_isblack = jnp.ones((b,), bool)
     else:
         model1_isblack = jnp.asarray(model1_isblack, bool)
-    # snapshot before the state tuple is donated into move_step
+    # snapshot, then place a FRESH device copy in the state: the state
+    # tuple is donated into move_step, which would delete the caller's
+    # array out from under them
     model1_isblack_np = np.asarray(model1_isblack)
+    model1_isblack = jnp.asarray(np.array(model1_isblack_np))
 
     move_step = _make_move_step(predict1, predict2, search, size, selfplay)
 
@@ -265,7 +289,8 @@ def play_games(
     for move_n in range(max_moves):
         greedy = jnp.full((b,), move_n >= stop_exploration)
         rng, sub = jax.random.split(rng)
-        state, record, flags = move_step(state, sub, greedy, resign_thresholds)
+        state, record, flags = move_step(
+            state, sub, greedy, resign_thresholds, variables1, variables2)
         records.append({k: np.asarray(v) for k, v in record.items()})
         rn = np.asarray(flags["resign_now"])
         # the resigner is the side to move when the resign fires

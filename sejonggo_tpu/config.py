@@ -74,8 +74,10 @@ class SearchConfig:
     def capacity(self) -> int:
         if self.max_nodes:
             return self.max_nodes
-        # one node per simulation + root + reuse slack
-        return self.simulations + self.batch_size + 2
+        # one node per simulation for the decision + an equal reuse
+        # budget for the subtree carried across moves (see
+        # search.tree.tree_capacity)
+        return 2 * self.simulations + self.batch_size + 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,6 +20,21 @@ def dummy_predict_fn(boards):
     return policy, jnp.ones((b, 1), jnp.float32)
 
 
+def dummy_actor_fn(variables, boards):
+    """Actor-level signature variant of dummy_predict_fn."""
+    return dummy_predict_fn(boards)
+
+
+def as_actor_fn(fn):
+    """Adapt a stateless predict_fn(boards) to the actor-level
+    (variables, boards) signature used by play_games."""
+
+    def actor_fn(variables, boards):
+        return fn(boards)
+
+    return actor_fn
+
+
 def make_constant_predict_fn(policy, value: float = 1.0):
     """predict_fn returning a fixed policy row and constant value."""
     policy = jnp.asarray(policy, jnp.float32)

@@ -1,0 +1,199 @@
+"""Closed actor-learner loop: self-play -> train -> evaluate -> gate.
+
+Reference counterpart: pipeline_sequent.py / main.py:13-28 — the
+sequential loop of (self-play with best model) -> (train latest) ->
+(evaluate latest vs best) -> (promote on >55% winrate), with "best" and
+"latest" as the only global state.  The reference spreads this over
+worker processes, a cross-process prediction service, dbm phase flags
+and scp; here it is one process driving on-device batched calls, with
+the CheckpointStore carrying the best/latest identities.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sejonggo_tpu.actor import ResignCalibrator, play_games
+from sejonggo_tpu.config import Config, full_19x19, small_9x9
+from sejonggo_tpu.learn import (
+    CheckpointStore,
+    ReplayBuffer,
+    evaluate_models,
+    make_optimizer,
+    make_train_step,
+)
+from sejonggo_tpu.learn.train import init_train_state
+from sejonggo_tpu.nets import AZNet, init_variables, make_predict_fn
+
+logger = logging.getLogger("sejonggo_tpu.pipeline")
+
+
+class Pipeline:
+    def __init__(self, cfg: Config, workdir: str = ".", seed: int = 0):
+        self.cfg = cfg
+        self.workdir = workdir
+        self.store = CheckpointStore(os.path.join(workdir, cfg.model_dir))
+        self.net = AZNet.from_config(cfg.go.size, cfg.net)
+        self.predict = make_predict_fn(self.net)
+        self.tx = make_optimizer(cfg.train.lr, cfg.train.momentum, cfg.net.l2)
+        self.train_step = make_train_step(self.net, self.tx, cfg.train.loss_mode)
+        self.rng = jax.random.PRNGKey(seed)
+        self.replay = ReplayBuffer(cfg.train.replay_window, cfg.go.size,
+                                   seed=seed)
+        self.calibrator = ResignCalibrator(
+            cfg.selfplay.resignation_percent,
+            cfg.selfplay.resignation_allowed_error, seed=seed)
+        self.metrics_log: list = []
+
+    def _split(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # --- model lifecycle (reference model.py:98-157) --------------------
+
+    def init_models(self):
+        """Create model_1 as best+latest if the store is empty
+        (reference create_initial_model model.py:98-122)."""
+        if self.store.latest_name() is None:
+            variables = init_variables(self.net, self._split())
+            state = init_train_state(self.net, variables, self.tx)
+            self.store.save_state("model_1", state)
+            self.store.set_best("model_1")
+            logger.info("created initial model_1 (best)")
+
+    def _template_state(self):
+        variables = init_variables(self.net, jax.random.PRNGKey(0))
+        return init_train_state(self.net, variables, self.tx)
+
+    def load(self, name: str):
+        return self.store.load_state(name, self._template_state())
+
+    # --- phases ---------------------------------------------------------
+
+    def selfplay_phase(self, num_games: int = 0) -> dict:
+        """Generate games with the BEST model (reference
+        main_selfplay.py / model_self_play self_play.py:293-340)."""
+        cfg = self.cfg
+        best = self.store.best_name()
+        state = self.load(best)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        n = num_games or cfg.selfplay.num_games
+        b = cfg.selfplay.game_batch
+        played = 0
+        moves = 0
+        t0 = time.time()
+        while played < n:
+            thresholds = self.calibrator.thresholds(b)
+            games = play_games(
+                self.predict, size=cfg.go.size, komi=cfg.go.komi,
+                search=cfg.search, game_batch=b, rng=self._split(),
+                variables1=variables, selfplay=True,
+                stop_exploration=cfg.selfplay.stop_exploration,
+                resign_thresholds=jnp.asarray(thresholds),
+            )
+            self.calibrator.observe(games)
+            moves += self.replay.add_game_batch(games)
+            played += b
+        dt = time.time() - t0
+        stats = {
+            "phase": "selfplay", "model": best, "games": played,
+            "moves": moves, "seconds": dt,
+            "moves_per_s": moves / max(dt, 1e-9),
+            "resign_threshold": self.calibrator.current,
+        }
+        logger.info("selfplay: %s", stats)
+        self.metrics_log.append(stats)
+        return stats
+
+    def train_phase(self) -> dict:
+        """Train the latest model on the replay window and save
+        model_<N+1> (reference train.py:24-72, TrainWorker)."""
+        cfg = self.cfg
+        latest = self.store.latest_name()
+        state = self.load(latest)
+        steps = cfg.train.epochs_per_save * cfg.train.iters_per_epoch
+        t0 = time.time()
+        last_metrics = {}
+        for _ in range(steps):
+            boards, policies, values = self.replay.sample(cfg.train.batch_size)
+            state, metrics = self.train_step(
+                state, jnp.asarray(boards), jnp.asarray(policies),
+                jnp.asarray(values))
+            last_metrics = metrics
+        name = self.store.next_name()
+        self.store.save_state(name, state)
+        dt = time.time() - t0
+        stats = {
+            "phase": "train", "from": latest, "to": name, "steps": steps,
+            "seconds": dt, "steps_per_s": steps / max(dt, 1e-9),
+            **{k: float(v) for k, v in last_metrics.items()},
+        }
+        logger.info("train: %s", stats)
+        self.metrics_log.append(stats)
+        return stats
+
+    def evaluate_phase(self) -> dict:
+        """Latest vs best gating (reference evaluator.py:23-47)."""
+        cfg = self.cfg
+        latest = self.store.latest_name()
+        best = self.store.best_name()
+        if latest == best:
+            return {"phase": "evaluate", "skipped": True}
+        ls = self.load(latest)
+        bs = self.load(best)
+        res = evaluate_models(
+            self.predict, self.predict,
+            size=cfg.go.size, komi=cfg.go.komi, search=cfg.search,
+            eval_cfg=cfg.eval, rng=self._split(),
+            variables_latest={"params": ls.params, "batch_stats": ls.batch_stats},
+            variables_best={"params": bs.params, "batch_stats": bs.batch_stats},
+            game_batch=min(cfg.eval.num_games, cfg.selfplay.game_batch),
+        )
+        if res["promote"]:
+            self.store.set_best(latest)  # evaluator.py:43-46
+            logger.info("promoted %s to best (winrate %.3f)", latest,
+                        res["winrate"])
+        stats = {"phase": "evaluate", "latest": latest, "best": best, **res}
+        self.metrics_log.append(stats)
+        return stats
+
+    def run(self, generations: int = 1, selfplay_games: int = 0):
+        self.init_models()
+        results = []
+        for gen in range(generations):
+            sp = self.selfplay_phase(selfplay_games)
+            tr = self.train_phase()
+            ev = self.evaluate_phase()
+            results.append({"generation": gen, "selfplay": sp, "train": tr,
+                            "evaluate": ev, "best": self.store.best_name()})
+        return results
+
+
+def main():
+    parser = argparse.ArgumentParser(description="sejonggo-tpu pipeline")
+    parser.add_argument("--preset", choices=["tiny", "full"], default="tiny")
+    parser.add_argument("--generations", type=int, default=1)
+    parser.add_argument("--games", type=int, default=0,
+                        help="self-play games per generation (0 = preset)")
+    parser.add_argument("--workdir", default="runs/pipeline")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    cfg = small_9x9() if args.preset == "tiny" else full_19x19()
+    os.makedirs(args.workdir, exist_ok=True)
+    pipe = Pipeline(cfg, args.workdir, seed=args.seed)
+    results = pipe.run(args.generations, args.games)
+    for r in results:
+        print(r)
+
+
+if __name__ == "__main__":
+    main()

@@ -250,7 +250,7 @@ def policy_target_batch(trees: Tree, mode: str = "prior"):
     return counts / total
 
 
-def _advance_root(tree: Tree, action):
+def _advance_root(tree: Tree, action, reserve: int = 0):
     """Re-root the tree at child `action` (reference tree reuse,
     self_play.py:224-238: step into the chosen child and cut the
     parent), compacting surviving nodes to the front of the arrays.
@@ -258,6 +258,14 @@ def _advance_root(tree: Tree, action):
     Returns (tree, valid); when the child was never expanded valid is
     False and the caller must build a fresh tree (reference
     self_play.py:195-196).
+
+    `reserve`: node slots the next decision will allocate (its
+    simulation count).  If the surviving subtree would not leave that
+    much capacity, the tree is marked invalid (dropped) instead —
+    overflowing the fixed arrays would clamp scatters into the last
+    slot and corrupt child pointers.  The reference's dict trees grow
+    without bound (play.py:376-421); this is the price of the
+    fixed-capacity array tree, paid as a rare loss of reused statistics.
     """
     c = tree.parent.shape[0]
     new_root = tree.child_idx[0, action]
@@ -274,6 +282,7 @@ def _advance_root(tree: Tree, action):
     new_idx = (jnp.cumsum(keep) - 1).astype(jnp.int32)
     order = jnp.argsort(jnp.where(keep, idxs, c + idxs))
     n_new = jnp.sum(keep).astype(jnp.int32)
+    valid = valid & (n_new + reserve <= c)
     live = idxs < n_new
 
     def g(arr):
@@ -300,5 +309,5 @@ def _advance_root(tree: Tree, action):
     return out, valid
 
 
-def advance_root_batch(trees: Tree, actions):
-    return jax.vmap(_advance_root)(trees, actions)
+def advance_root_batch(trees: Tree, actions, reserve: int = 0):
+    return jax.vmap(partial(_advance_root, reserve=reserve))(trees, actions)

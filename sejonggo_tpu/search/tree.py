@@ -47,8 +47,11 @@ class Tree(NamedTuple):
 
 
 def tree_capacity(simulations: int, batch_size: int) -> int:
-    """Node slots needed: one per simulation + root + one round of slack."""
-    return simulations + batch_size + 2
+    """Node slots: one per simulation for the current decision, plus a
+    reuse budget of the same order for the subtree carried across moves
+    (advance_root drops trees whose survivors would not leave room for
+    a full decision's expansions — see mcts._advance_root)."""
+    return 2 * simulations + batch_size + 2
 
 
 def _empty_tree(capacity: int, size: int) -> Tree:

@@ -20,6 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_sejonggo")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+# The machine's sitecustomize rewrites JAX_PLATFORMS to "axon,cpu" (TPU
+# tunnel first) at interpreter startup, so the env var alone is not
+# enough — override through the config API before any backend init.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 REFERENCE_PATH = "/root/reference"

@@ -1,0 +1,143 @@
+"""Learner tests: replay window, optimizer decay mask, checkpoint
+roundtrip, evaluator gating with stub models."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sejonggo_tpu.config import EvalConfig, SearchConfig
+from sejonggo_tpu.learn import (
+    CheckpointStore,
+    ReplayBuffer,
+    evaluate_models,
+    make_optimizer,
+    make_train_step,
+)
+from sejonggo_tpu.learn.train import _decay_mask, init_train_state
+from sejonggo_tpu.nets import (
+    AZNet,
+    as_actor_fn,
+    dummy_actor_fn,
+    init_variables,
+    make_constant_predict_fn,
+)
+
+SIZE = 9
+A = SIZE * SIZE + 1
+
+
+def _fake_games(t=6, b=3, seed=0):
+    from sejonggo_tpu.actor import GameBatch
+
+    rng = np.random.RandomState(seed)
+    return GameBatch(
+        boards=rng.randint(0, 2, (t, b, SIZE, SIZE, 17)).astype(np.int8),
+        policy_targets=rng.rand(t, b, A).astype(np.float32),
+        values=rng.rand(t, b).astype(np.float32),
+        actions=rng.randint(0, A, (t, b)).astype(np.int32),
+        players=np.tile(np.where(np.arange(t) % 2 == 0, 1, -1)[:, None], (1, b)).astype(np.int32),
+        move_valid=np.ones((t, b), bool),
+        tree_fresh=np.zeros((t, b), bool),
+        winners=np.array([1, -1, 0][:b], np.int32),
+        resign_winners=np.array([1, -1, 0][:b], np.int32),
+        black_points=np.zeros(b), white_points=np.zeros(b),
+        end_reasons=np.zeros(b, np.int32),
+        num_moves=np.full(b, t, np.int32),
+        model1_isblack=np.ones(b, bool),
+    )
+
+
+def test_replay_window_and_sampling():
+    buf = ReplayBuffer(capacity_moves=10, size=SIZE, seed=0)
+    games = _fake_games(t=6, b=3)
+    added = buf.add_game_batch(games)
+    assert added == 18
+    assert len(buf) == 10  # window capped: oldest 8 dropped
+    boards, policies, values = buf.sample(4)
+    assert boards.shape == (4, SIZE, SIZE, 17)
+    assert boards.dtype == np.float32
+    assert policies.shape == (4, A)
+    # value targets honor winner/mover/draw
+    vt = games.value_targets()
+    assert set(np.unique(vt[:, 0])) <= {1.0, -1.0}
+    assert np.all(vt[:, 2] == 0.0)  # draw game
+
+
+def test_replay_save_load(tmp_path):
+    buf = ReplayBuffer(capacity_moves=64, size=SIZE, seed=0)
+    buf.add_game_batch(_fake_games())
+    p = str(tmp_path / "replay.npz")
+    buf.save(p)
+    buf2 = ReplayBuffer.load(p, capacity_moves=64, size=SIZE)
+    assert len(buf2) == len(buf)
+    assert np.array_equal(buf2.boards[: len(buf)], buf.boards[: len(buf)])
+
+
+def test_decay_mask_excludes_batchnorm():
+    net = AZNet(size=SIZE, blocks=1, filters=8, value_hidden=8,
+                compute_dtype="float32")
+    variables = init_variables(net, jax.random.PRNGKey(0))
+    mask = _decay_mask(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    saw_bn = saw_conv = False
+    for path, val in flat:
+        names = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "BatchNorm" in names:
+            assert val is False, names
+            saw_bn = True
+        else:
+            assert val is True, names
+            saw_conv = True
+    assert saw_bn and saw_conv
+
+
+def test_train_step_and_checkpoint_roundtrip(tmp_path):
+    net = AZNet(size=SIZE, blocks=1, filters=8, value_hidden=8,
+                compute_dtype="float32")
+    variables = init_variables(net, jax.random.PRNGKey(0))
+    tx = make_optimizer(1e-2, 0.9, 1e-4)
+    state = init_train_state(net, variables, tx)
+    step = make_train_step(net, tx)
+
+    boards = jnp.zeros((8, SIZE, SIZE, 17))
+    policies = jnp.ones((8, A)) / A
+    values = jnp.zeros((8,))
+    state, metrics = step(state, boards, policies, values)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+
+    store = CheckpointStore(str(tmp_path))
+    assert store.latest_name() is None
+    assert store.next_name() == "model_1"
+    store.save_state("model_1", state)
+    store.set_best("model_1")
+    assert store.latest_name() == "model_1"
+    assert store.next_name() == "model_2"
+    assert store.best_name() == "model_1"
+
+    template = init_train_state(net, init_variables(net, jax.random.PRNGKey(9)), tx)
+    restored = store.load_state("model_1", template)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == 1
+
+
+def test_evaluator_gating():
+    p = np.zeros(A, np.float32)
+    p[A - 1] = 1.0
+    passer = as_actor_fn(make_constant_predict_fn(p, value=0.0))
+    search = SearchConfig(simulations=8, batch_size=4, use_symmetry=False)
+    eval_cfg = EvalConfig(num_games=4, margin=0.55)
+
+    # stone-playing dummy beats the passer from either color
+    res = evaluate_models(
+        dummy_actor_fn, passer, size=SIZE, komi=5.5, search=search,
+        eval_cfg=eval_cfg, rng=jax.random.PRNGKey(0), max_moves=8)
+    assert res["winrate"] == 1.0 and res["promote"]
+
+    res2 = evaluate_models(
+        passer, dummy_actor_fn, size=SIZE, komi=5.5, search=search,
+        eval_cfg=eval_cfg, rng=jax.random.PRNGKey(1), max_moves=8)
+    assert res2["winrate"] == 0.0 and not res2["promote"]

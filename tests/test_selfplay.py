@@ -7,7 +7,7 @@ import numpy as np
 from sejonggo_tpu.actor import GameBatch, ResignCalibrator, play_games
 from sejonggo_tpu.config import SearchConfig
 from sejonggo_tpu.goenv import engine
-from sejonggo_tpu.nets import dummy_predict_fn, make_constant_predict_fn
+from sejonggo_tpu.nets import as_actor_fn, dummy_actor_fn, make_constant_predict_fn
 
 SIZE = 9
 A = SIZE * SIZE + 1
@@ -17,12 +17,12 @@ SEARCH = SearchConfig(simulations=8, batch_size=4, use_symmetry=False)
 def pass_model():
     p = np.zeros(A, np.float32)
     p[A - 1] = 1.0
-    return make_constant_predict_fn(p, value=0.0)
+    return as_actor_fn(make_constant_predict_fn(p, value=0.0))
 
 
 def test_selfplay_game_consistency():
     games = play_games(
-        dummy_predict_fn, size=SIZE, komi=5.5, search=SEARCH, game_batch=2,
+        dummy_actor_fn, size=SIZE, komi=5.5, search=SEARCH, game_batch=2,
         rng=jax.random.PRNGKey(0), selfplay=True, stop_exploration=4,
         max_moves=12,
     )
@@ -51,7 +51,7 @@ def test_selfplay_game_consistency():
 def test_selfplay_tree_created_once():
     # reference tests.py:1107-1119: one tree per self-play game
     games = play_games(
-        dummy_predict_fn, size=SIZE, komi=5.5, search=SEARCH, game_batch=2,
+        dummy_actor_fn, size=SIZE, komi=5.5, search=SEARCH, game_batch=2,
         rng=jax.random.PRNGKey(1), selfplay=True, stop_exploration=30,
         max_moves=5,
     )
@@ -64,7 +64,7 @@ def test_evaluation_two_trees_and_routing():
     model routing: a pass-only model1 must produce passes exactly on its
     color's turns."""
     games = play_games(
-        pass_model(), dummy_predict_fn, size=SIZE, komi=5.5, search=SEARCH,
+        pass_model(), dummy_actor_fn, size=SIZE, komi=5.5, search=SEARCH,
         game_batch=2, rng=jax.random.PRNGKey(2), selfplay=False,
         stop_exploration=0, max_moves=6,
         model1_isblack=jnp.array([True, False]),
@@ -96,7 +96,7 @@ def test_evaluation_tree_created_twice():
     game -> exactly two trees created (one per model)."""
     search = SearchConfig(simulations=32, batch_size=8, use_symmetry=False)
     games = play_games(
-        dummy_predict_fn, dummy_predict_fn, size=SIZE, komi=5.5,
+        dummy_actor_fn, dummy_actor_fn, size=SIZE, komi=5.5,
         search=search, game_batch=1, rng=jax.random.PRNGKey(5),
         selfplay=False, stop_exploration=0, max_moves=2,
     )
@@ -105,8 +105,8 @@ def test_evaluation_tree_created_twice():
 
 
 def test_resignation():
-    losing = make_constant_predict_fn(
-        np.full(A, 1.0 / A, np.float32), value=-0.9)
+    losing = as_actor_fn(make_constant_predict_fn(
+        np.full(A, 1.0 / A, np.float32), value=-0.9))
     thresholds = jnp.array([-0.5, jnp.nan])
     games = play_games(
         losing, size=SIZE, komi=5.5, search=SEARCH, game_batch=2,
