@@ -1,0 +1,264 @@
+"""GTP (Go Text Protocol) frontend.
+
+Reference counterpart: sejonggo.py — SejongGoEngine (board + reusable
+MCTS tree across moves, sejonggo.py:19-69) and GTPEngine (getattr
+command dispatch over stdin/stdout, sejonggo.py:71-178), including the
+skipped-letter-'I' vertex convention (sejonggo.py:102-126).  The
+reference needed a separate prediction-service build
+(sejonggo_nomodel.py); here inference is the same in-process jitted
+call as everywhere else.
+
+Run: python -m sejonggo_tpu.io.gtp --preset tiny [--dummy | --model-dir DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sejonggo_tpu.config import Config, SearchConfig, full_19x19, small_9x9
+from sejonggo_tpu.goenv import (
+    engine,
+    gtp_to_xy,
+    xy_to_gtp,
+)
+from sejonggo_tpu.search import (
+    advance_root_batch,
+    decide_batch,
+    new_tree_batch,
+    policy_target_batch,
+    run_search,
+)
+
+COLOR_TO_PLAYER = {"B": 1, "W": -1, "b": 1, "w": -1}
+
+
+class GoEngine:
+    """Single-game engine: board + reusable tree (sejonggo.py:19-69)."""
+
+    def __init__(self, predict, variables, *, size: int, komi: float,
+                 search: SearchConfig, resign: Optional[float] = None,
+                 temperature: int = 0, add_noise: bool = False, seed: int = 0):
+        self.predict = predict
+        self.variables = variables
+        self.size = size
+        self.komi = komi
+        self.search = search
+        self.resign = resign
+        self.temperature = temperature
+        self.add_noise = add_noise
+        self.rng = jax.random.PRNGKey(seed)
+        self._search_fn = lambda boards: self.predict(self.variables, boards)
+        self.clear()
+
+    def clear(self):
+        self.board = engine.init_board(self.size)
+        self.tree = None
+        self.tree_valid = False
+        self.move_n = 0
+
+    def _split(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    @property
+    def player(self) -> int:
+        return int(self.board[0, 0, 16])
+
+    def play(self, color: int, x: int, y: int, update_tree: bool = True):
+        """Apply an external (or own) move; advance the reused tree if
+        it knows this child, else drop it (sejonggo.py:34-45)."""
+        action = self.size * self.size if y >= self.size else y * self.size + x
+        if update_tree and self.tree_valid:
+            trees, valid = advance_root_batch(
+                self.tree, jnp.asarray([action]),
+                reserve=self.search.simulations)
+            self.tree = trees
+            self.tree_valid = bool(valid[0])
+        else:
+            self.tree_valid = False
+        self.board, _ = engine.play_at(self.board, x, y, color)
+        self.move_n += 1
+        return self.board
+
+    def genmove(self, color: int):
+        """Returns (x, y, value); y == size means pass, y == size+1 means
+        resign (reference sejonggo.py:47-69 marker)."""
+        if self.player != color:
+            # force the side to move like make_play(color=...) does
+            self.board = engine._swap_sides(self.board)
+        feats = self.board[None].astype(jnp.float32)
+        policies, values = self.predict(self.variables, feats)
+        value = float(values[0, 0])
+        if self.resign is not None and value <= self.resign:
+            return 0, self.size + 1, value
+
+        if not self.tree_valid:
+            self.tree = new_tree_batch(
+                policies, self.board[None], self.search.capacity(),
+                rng=self._split() if self.add_noise else None,
+                dirichlet_alpha=self.search.dirichlet_alpha,
+                epsilon=self.search.dirichlet_epsilon)
+            self.tree_valid = True
+
+        self.tree = run_search(
+            self.tree, self._search_fn, self._split(),
+            simulations=self.search.simulations,
+            batch_size=self.search.batch_size,
+            c_puct=self.search.c_puct, negamax=self.search.negamax,
+            use_symmetry=self.search.use_symmetry)
+        greedy = jnp.asarray([self.temperature == 0])
+        action = int(decide_batch(self.tree, greedy, self._split())[0])
+        x, y = (action % self.size, action // self.size) \
+            if action < self.size * self.size else (0, self.size)
+        self.play(color, x, y)
+        return x, y, value
+
+
+class GTPFrontend:
+    """GTP v2 command loop (reference GTPEngine sejonggo.py:71-160)."""
+
+    def __init__(self, engine_: GoEngine, name: str = "sejonggo-tpu"):
+        self.engine = engine_
+        self._name = name
+        self._komi = engine_.komi
+        self._quit = False
+
+    # --- commands ------------------------------------------------------
+
+    def protocol_version(self):
+        return "2"
+
+    def name(self):
+        return f"{self._name} - {self.engine.search.simulations} simulations"
+
+    def version(self):
+        from sejonggo_tpu import __version__
+
+        return __version__
+
+    def list_commands(self):
+        return "\n".join(
+            c for c in dir(self)
+            if not c.startswith("_") and callable(getattr(self, c))
+            and c not in ("parse_command", "run"))
+
+    def boardsize(self, size):
+        if int(size) != self.engine.size:
+            raise ValueError(
+                f"configured for {self.engine.size}x{self.engine.size}, "
+                f"GTP asked for {size}x{size}")
+        return ""
+
+    def komi(self, komi):
+        self._komi = float(komi)
+        self.engine.komi = float(komi)
+        return ""
+
+    def clear_board(self):
+        self.engine.clear()
+        return ""
+
+    def play(self, color, vertex):
+        player = COLOR_TO_PLAYER[color[0]]
+        x, y = gtp_to_xy(vertex, self.engine.size)
+        self.engine.play(player, x, y)
+        return ""
+
+    def genmove(self, color):
+        player = COLOR_TO_PLAYER[color[0]]
+        x, y, value = self.engine.genmove(player)
+        if y == self.engine.size + 1:
+            return "resign"
+        return xy_to_gtp(x, y, self.engine.size)
+
+    def showboard(self):
+        return "\n" + engine.show_board(self.engine.board)
+
+    def final_score(self):
+        w, b, wh = engine.score(self.engine.board, self._komi)
+        w = int(w)
+        if w == 0:
+            return "0"
+        return ("B+" if w == 1 else "W+") + str(abs(float(b) - float(wh)))
+
+    def quit(self):
+        self._quit = True
+        return ""
+
+    # --- loop ----------------------------------------------------------
+
+    def parse_command(self, line: str) -> str:
+        tokens = line.strip().split()
+        if not tokens:
+            return ""
+        cmd_id = ""
+        if tokens[0].isdigit():
+            cmd_id = tokens[0]
+            tokens = tokens[1:]
+        command, args = tokens[0], tokens[1:]
+        try:
+            method = getattr(self, command)
+            result = method(*args)
+        except Exception as e:  # noqa: BLE001 — GTP reports errors inline
+            return f"?{cmd_id} {e}\n\n"
+        if not str(result).strip():
+            return f"={cmd_id}\n\n"
+        return f"={cmd_id} {result}\n\n"
+
+    def run(self, infile=sys.stdin, outfile=sys.stdout):
+        for line in infile:
+            for cmd in line.split("\n"):
+                if not cmd.strip():
+                    continue
+                result = self.parse_command(cmd)
+                if result.strip():
+                    outfile.write(result)
+                    outfile.flush()
+            if self._quit:
+                break
+
+
+def _build_engine(args) -> GoEngine:
+    cfg: Config = small_9x9() if args.preset == "tiny" else full_19x19()
+    if args.dummy:
+        from sejonggo_tpu.nets import dummy_actor_fn
+
+        return GoEngine(dummy_actor_fn, None, size=cfg.go.size,
+                        komi=cfg.go.komi, search=cfg.search)
+    from sejonggo_tpu.learn import CheckpointStore, make_optimizer
+    from sejonggo_tpu.learn.train import init_train_state
+    from sejonggo_tpu.nets import AZNet, init_variables, make_predict_fn
+
+    net = AZNet.from_config(cfg.go.size, cfg.net)
+    store = CheckpointStore(args.model_dir)
+    name = args.checkpoint or store.best_name() or store.latest_name()
+    if name is None:
+        raise SystemExit(f"no checkpoint found in {args.model_dir}")
+    tx = make_optimizer()
+    template = init_train_state(net, init_variables(net, jax.random.PRNGKey(0)), tx)
+    variables = store.load_variables(name, template)
+    return GoEngine(make_predict_fn(net), variables, size=cfg.go.size,
+                    komi=cfg.go.komi, search=cfg.search)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="sejonggo-tpu GTP engine")
+    parser.add_argument("--preset", choices=["tiny", "full"], default="full")
+    parser.add_argument("--model-dir", default="sp_models")
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--dummy", action="store_true",
+                        help="play with the deterministic stub net")
+    args = parser.parse_args()
+    engine_ = _build_engine(args)
+    frontend = GTPFrontend(engine_)
+    print("GTP engine ready", file=sys.stderr)
+    frontend.run()
+
+
+if __name__ == "__main__":
+    main()
