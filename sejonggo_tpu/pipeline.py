@@ -138,6 +138,46 @@ class Pipeline:
         self.metrics_log.append(stats)
         return stats
 
+    def kgs_pretrain_phase(self, data_dir: str, steps: int,
+                           backup_every: int = 0) -> dict:
+        """Supervised pretraining from KGS SGFs (reference
+        main_training.py:34-98 continuous trainer + KGSDataGenerator).
+        Trains the latest model in place and saves model_<N+1>;
+        `backup_every` steps writes a crash-recovery 'backup' checkpoint
+        (reference EPOCHS_PER_BACKUP / save_backup_model)."""
+        from sejonggo_tpu.io.kgs import kgs_sample_stream
+
+        cfg = self.cfg
+        latest = self.store.latest_name()
+        state = self.load(latest)
+        stream = kgs_sample_stream(
+            data_dir, cfg.go.size, batch_size=cfg.train.batch_size,
+            rng=np.random.RandomState(0), loop=True)
+        t0 = time.time()
+        last_metrics = {}
+        done_steps = 0
+        for boards, policies, values in stream:
+            state, metrics = self.train_step(
+                state, jnp.asarray(boards), jnp.asarray(policies),
+                jnp.asarray(values))
+            last_metrics = metrics
+            done_steps += 1
+            if backup_every and done_steps % backup_every == 0:
+                self.store.save_state("backup", state)
+            if done_steps >= steps:
+                break
+        name = self.store.next_name()
+        self.store.save_state(name, state)
+        dt = time.time() - t0
+        stats = {
+            "phase": "kgs_pretrain", "from": latest, "to": name,
+            "steps": done_steps, "seconds": dt,
+            **{k: float(v) for k, v in last_metrics.items()},
+        }
+        logger.info("kgs_pretrain: %s", stats)
+        self.metrics_log.append(stats)
+        return stats
+
     def evaluate_phase(self) -> dict:
         """Latest vs best gating (reference evaluator.py:23-47)."""
         cfg = self.cfg
