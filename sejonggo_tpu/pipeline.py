@@ -203,6 +203,42 @@ class Pipeline:
         self.metrics_log.append(stats)
         return stats
 
+    # --- run-state checkpoint/resume (beyond the reference, which only
+    # checkpoints model files — SURVEY.md §5) --------------------------
+
+    def save_run_state(self) -> None:
+        """Persist replay window + resign calibration + RNG so a crashed
+        or preempted run resumes exactly."""
+        import json
+
+        self.replay.save(os.path.join(self.workdir, "replay.npz"))
+        meta = {
+            "rng": np.asarray(jax.random.key_data(self.rng)).tolist(),
+            "calibrator": {
+                "min_values": self.calibrator.min_values,
+                "current": self.calibrator.current,
+            },
+        }
+        with open(os.path.join(self.workdir, "run_state.json"), "w") as f:
+            json.dump(meta, f)
+
+    def load_run_state(self) -> bool:
+        import json
+
+        replay_path = os.path.join(self.workdir, "replay.npz")
+        meta_path = os.path.join(self.workdir, "run_state.json")
+        if not (os.path.exists(replay_path) and os.path.exists(meta_path)):
+            return False
+        self.replay = ReplayBuffer.load(
+            replay_path, self.cfg.train.replay_window, self.cfg.go.size)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        self.rng = jax.random.wrap_key_data(
+            jnp.asarray(meta["rng"], jnp.uint32))
+        self.calibrator.min_values = meta["calibrator"]["min_values"]
+        self.calibrator.current = meta["calibrator"]["current"]
+        return True
+
     def run(self, generations: int = 1, selfplay_games: int = 0):
         self.init_models()
         results = []
@@ -210,6 +246,7 @@ class Pipeline:
             sp = self.selfplay_phase(selfplay_games)
             tr = self.train_phase()
             ev = self.evaluate_phase()
+            self.save_run_state()
             results.append({"generation": gen, "selfplay": sp, "train": tr,
                             "evaluate": ev, "best": self.store.best_name()})
         return results
