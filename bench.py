@@ -26,7 +26,7 @@ def main():
     from sejonggo_tpu.search import new_tree_batch
 
     size = 9
-    game_batch = 64
+    game_batch = 256
     search = SearchConfig(simulations=64, batch_size=16, use_symmetry=True)
     net = AZNet.from_config(
         size, NetConfig(blocks=4, filters=64, value_hidden=64,
