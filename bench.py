@@ -25,6 +25,13 @@ def main():
     from sejonggo_tpu.nets import AZNet, init_variables, make_predict_fn
     from sejonggo_tpu.search import new_tree_batch
 
+    # fused Pallas flood-fill for the env's capture/legality fixpoints
+    # (ops/flood.py; measured ~1.1-1.3x over the XLA global fixpoint)
+    if jax.default_backend() != "cpu":
+        from sejonggo_tpu.ops import enable_pallas_flood
+
+        enable_pallas_flood(True)
+
     size = 9
     game_batch = 256
     search = SearchConfig(simulations=64, batch_size=16, use_symmetry=True)

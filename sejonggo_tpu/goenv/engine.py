@@ -35,10 +35,12 @@ NUM_PLANES = 17
 
 
 def _shift_fill(v, dy: int, dx: int, fill):
-    """v shifted so out[y, x] = v[y + dy, x + dx], `fill` outside."""
+    """v shifted so out[..., y, x] = v[..., y + dy, x + dx], `fill`
+    outside.  Rank-polymorphic over leading batch dims."""
     rows, cols = v.shape[-2], v.shape[-1]
-    p = jnp.pad(v, ((1, 1), (1, 1)), constant_values=fill)
-    return p[1 + dy:1 + dy + rows, 1 + dx:1 + dx + cols]
+    pad = [(0, 0)] * (v.ndim - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(v, pad, constant_values=fill)
+    return p[..., 1 + dy:1 + dy + rows, 1 + dx:1 + dx + cols]
 
 
 def _dilate(m):
@@ -307,6 +309,84 @@ def group_liberty_count(board, x: int, y: int, color: int):
     group = seed | _flood(stones & _dilate(seed), stones)
     libs = (real == 0) & _dilate(group) & ~seed
     return jnp.sum(libs)
+
+
+# ---------------------------------------------------------------------------
+# batched variants (leading B axis, no vmap)
+#
+# The hot search path steps B*k leaf boards per round; doing that as one
+# batched computation (instead of vmap-of-single-board) lets the flood
+# fixpoints run as whole-batch iterations and makes room for a fused
+# Pallas kernel (ops/flood.py) that iterates each block in VMEM.
+
+_flood_batch_impl = None
+
+
+def set_flood_impl(fn) -> None:
+    """Install a batched flood-fill implementation (seed, allowed) ->
+    reached for (B, N, N) bool masks; None restores the XLA fixpoint.
+    Used by ops.flood to plug in the Pallas TPU kernel."""
+    global _flood_batch_impl
+    _flood_batch_impl = fn
+
+
+def _flood_b(seed, allowed):
+    if _flood_batch_impl is not None:
+        return _flood_batch_impl(seed, allowed)
+    return _flood(seed, allowed)
+
+
+def step_batch(boards, actions):
+    """Batched `step`: boards (B, N, N, 17), actions (B,) int32."""
+    n = boards.shape[-3]
+    dtype = boards.dtype
+    actions = jnp.asarray(actions, jnp.int32)
+
+    shifted = jnp.concatenate(
+        [boards[..., 0:2], boards[..., 0:14], boards[..., 16:17]], axis=-1)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    onehot = (row * n + col)[None] == actions[:, None, None]
+
+    p0 = (shifted[..., 0] == 1) | onehot
+    p1 = shifted[..., 1] == 1
+
+    empty = ~(p0 | p1)
+    dead_opp = p1 & ~_flood_b(p1 & _dilate(empty), p1)
+    removed_opp = _flood_b(dead_opp & _dilate(onehot), dead_opp)
+    p1 = p1 & ~removed_opp
+
+    empty = ~(p0 | p1)
+    dead_own = p0 & ~_flood_b(p0 & _dilate(empty), p0)
+    removed_own = _flood_b(dead_own & (_dilate(onehot) | onehot), dead_own)
+    p0 = p0 & ~removed_own
+
+    placed = shifted.at[..., 0].set(p0.astype(dtype)).at[..., 1].set(
+        p1.astype(dtype))
+    swapped = placed[..., list(SWAP_INDEX)]
+    return jnp.concatenate([swapped, -placed[..., 16:17]], axis=-1)
+
+
+def illegal_moves_mask_batch(boards):
+    """Batched `illegal_moves_mask`: (B, N, N, 17) -> (B, N*N+1) bool."""
+    n = boards.shape[-3]
+    own = boards[..., 0] == 1
+    opp = boards[..., 1] == 1
+    empty = ~(own | opp)
+
+    ko_pt = (boards[..., 2].astype(jnp.int32)
+             - boards[..., 0].astype(jnp.int32)) == 1
+    ko = ko_pt & (jnp.sum(ko_pt, axis=(-2, -1), keepdims=True) == 1)
+
+    opp_mn, opp_mx = _group_minmax_lib(opp, empty)
+    opp_capturable = opp & (opp_mn >= opp_mx)
+
+    breath = _dilate(empty) | _dilate(opp_capturable)
+    legal = empty & ~ko & breath
+    illegal = ~legal.reshape(boards.shape[0], n * n)
+    return jnp.concatenate(
+        [illegal, jnp.zeros((boards.shape[0], 1), bool)], axis=-1)
 
 
 def to_features(board, dtype=jnp.float32):

@@ -89,25 +89,23 @@ def _walk_to_leaf(tree: Tree, p, a, c_puct: float):
 
 
 def _collect_leaves(tree: Tree, k: int, c_puct: float):
-    """Phase 1 of a round: pick k leaf edges + their boards."""
+    """Phase 1 of a round: pick k leaf edges (boards are stepped in one
+    batched call outside the per-game vmap — see simulate_round)."""
     f = _find_frontier(tree, c_puct)
     scores = _puct_scores(tree, f, c_puct)
     actions = jnp.argsort(-scores)[:k].astype(jnp.int32)  # stable: ties -> low action
     active = scores[actions] > -jnp.inf
     leaf_p, leaf_a = jax.vmap(lambda a: _walk_to_leaf(tree, f, a, c_puct))(actions)
-    leaf_boards = jax.vmap(engine.step)(tree.node_board[leaf_p], leaf_a)
-    return leaf_p, leaf_a, leaf_boards, active
+    return leaf_p, leaf_a, active
 
 
 def _expand_backup(tree: Tree, leaf_p, leaf_a, leaf_boards, active,
-                   policies, values, negamax: bool):
+                   policies, values, legal, negamax: bool):
     """Phase 3: allocate nodes for the k leaves, set priors/legality,
     wire child pointers, and back up values along each path."""
     k = leaf_p.shape[0]
     base = tree.n_nodes
     slots = base + jnp.arange(k, dtype=jnp.int32)
-
-    legal = jax.vmap(lambda b: ~engine.illegal_moves_mask(b))(leaf_boards)
 
     node_board = tree.node_board.at[slots].set(leaf_boards)
     node_P = tree.node_P.at[slots].set(policies)
@@ -167,12 +165,24 @@ def _expand_backup(tree: Tree, leaf_p, leaf_a, leaf_boards, active,
 def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
                    c_puct: float = 1.0, negamax: bool = False,
                    use_symmetry: bool = False):
-    """One search round over a batch of B trees: one network call total."""
+    """One search round over a batch of B trees: one network call and
+    one batched env step for all B*k leaves."""
     k = batch_size
-    leaf_p, leaf_a, leaf_boards, active = jax.vmap(
+    leaf_p, leaf_a, active = jax.vmap(
         partial(_collect_leaves, k=k, c_puct=c_puct))(trees)
     b = leaf_p.shape[0]
-    flat = leaf_boards.reshape((b * k,) + leaf_boards.shape[2:]).astype(jnp.float32)
+
+    # step all leaves in one batched call (Pallas-capable flood path)
+    parent_boards = jnp.take_along_axis(
+        trees.node_board, leaf_p[:, :, None, None, None], axis=1)
+    shape = parent_boards.shape[2:]
+    flat_boards = engine.step_batch(
+        parent_boards.reshape((b * k,) + shape), leaf_a.reshape(-1))
+    legal = ~engine.illegal_moves_mask_batch(flat_boards)
+    leaf_boards = flat_boards.reshape((b, k) + shape)
+    legal = legal.reshape(b, k, -1)
+
+    flat = flat_boards.astype(jnp.float32)
     if use_symmetry:
         policies, values = random_symmetry_predict(predict_fn, flat, rng)
     else:
@@ -180,7 +190,7 @@ def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
     policies = policies.reshape(b, k, -1)
     values = values.reshape(b, k)
     return jax.vmap(partial(_expand_backup, negamax=negamax))(
-        trees, leaf_p, leaf_a, leaf_boards, active, policies, values)
+        trees, leaf_p, leaf_a, leaf_boards, active, policies, values, legal)
 
 
 def run_search(trees: Tree, predict_fn: Callable, rng, *, simulations: int,

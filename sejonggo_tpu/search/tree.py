@@ -71,7 +71,7 @@ def _empty_tree(capacity: int, size: int) -> Tree:
     )
 
 
-def _new_tree(policy, board, capacity: int, noise, epsilon: float) -> Tree:
+def _new_tree(policy, board, legal, capacity: int, noise, epsilon: float) -> Tree:
     """Fresh tree rooted at `board` with root priors from `policy`.
 
     Mirrors reference new_tree/new_subtree (play.py:376-421): priors are
@@ -82,7 +82,6 @@ def _new_tree(policy, board, capacity: int, noise, epsilon: float) -> Tree:
     """
     size = board.shape[-3]
     tree = _empty_tree(capacity, size)
-    legal = ~engine.illegal_moves_mask(board)
     p = policy
     if noise is not None:
         p = (1.0 - epsilon) * p + epsilon * noise
@@ -98,10 +97,12 @@ def new_tree_batch(policies, boards, capacity: int, rng=None,
     """Create B fresh trees; `rng` enables root Dirichlet noise (self-play)."""
     b = boards.shape[0]
     a = policies.shape[-1]
+    legal = ~engine.illegal_moves_mask_batch(boards)
     if rng is not None:
         noise = jax.random.dirichlet(
             rng, jnp.full((a,), dirichlet_alpha, jnp.float32), (b,))
-        return jax.vmap(lambda p, bd, nz: _new_tree(p, bd, capacity, nz, epsilon))(
-            policies, boards, noise)
-    return jax.vmap(lambda p, bd: _new_tree(p, bd, capacity, None, epsilon))(
-        policies, boards)
+        return jax.vmap(
+            lambda p, bd, lg, nz: _new_tree(p, bd, lg, capacity, nz, epsilon))(
+            policies, boards, legal, noise)
+    return jax.vmap(lambda p, bd, lg: _new_tree(p, bd, lg, capacity, None, epsilon))(
+        policies, boards, legal)

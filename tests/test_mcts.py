@@ -24,6 +24,19 @@ from sejonggo_tpu.search import (
 )
 from sejonggo_tpu.search.mcts import _collect_leaves
 
+
+def collect_with_boards(tree, k):
+    leaf_p, leaf_a, active = jax.vmap(
+        lambda t: _collect_leaves(t, k, 1.0))(tree)
+    b = leaf_p.shape[0]
+    pb = jnp.take_along_axis(
+        tree.node_board, leaf_p[:, :, None, None, None], axis=1)
+    shape = pb.shape[2:]
+    boards = engine.step_batch(
+        pb.reshape((b * k,) + shape), leaf_a.reshape(-1)).reshape(
+        (b, k) + shape)
+    return leaf_p, leaf_a, boards, active
+
 SIZE = 9
 A = SIZE * SIZE + 1
 CAP = 64
@@ -84,8 +97,7 @@ def test_leaf():
 def test_model_evaluation_boards():
     # reference tests.py:747-774: exactly boards [move 0, move 1] reach the net
     tree = build_tree({0: (1.0, None), 1: (0.0, None)})
-    leaf_p, leaf_a, leaf_boards, active = jax.vmap(
-        lambda t: _collect_leaves(t, 2, 1.0))(tree)
+    leaf_p, leaf_a, leaf_boards, active = collect_with_boards(tree, 2)
     b0 = engine.step(engine.init_board(SIZE), 0)
     b1 = engine.step(engine.init_board(SIZE), 1)
     assert np.array_equal(np.asarray(leaf_boards[0, 0]), np.asarray(b0))
@@ -97,8 +109,7 @@ def test_model_evaluation_nested_boards():
     # reference tests.py:776-850: frontier inside child 0; leaves are
     # [move0+move1, move0+move2] in that order
     tree = build_tree({0: (1.0, {1: 1.0, 2: 0.0}), 1: (0.0, None)})
-    _, _, leaf_boards, active = jax.vmap(
-        lambda t: _collect_leaves(t, 2, 1.0))(tree)
+    _, _, leaf_boards, active = collect_with_boards(tree, 2)
     b01 = engine.step(engine.step(engine.init_board(SIZE), 0), 1)
     b02 = engine.step(engine.step(engine.init_board(SIZE), 0), 2)
     assert np.array_equal(np.asarray(leaf_boards[0, 0]), np.asarray(b01))
@@ -108,8 +119,7 @@ def test_model_evaluation_nested_boards():
 def test_model_evaluation_other_nested_boards():
     # reference tests.py:852-924: leaves [move0, move1+move0]
     tree = build_tree({0: (1.0, None), 1: (0.0, {0: 0.0, 2: 1.0})})
-    _, _, leaf_boards, _ = jax.vmap(
-        lambda t: _collect_leaves(t, 2, 1.0))(tree)
+    _, _, leaf_boards, _ = collect_with_boards(tree, 2)
     b0 = engine.step(engine.init_board(SIZE), 0)
     b12 = engine.step(engine.step(engine.init_board(SIZE), 1), 2)
     assert np.array_equal(np.asarray(leaf_boards[0, 0]), np.asarray(b0))
