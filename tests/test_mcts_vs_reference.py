@@ -57,17 +57,25 @@ class RefDummyModel:
 
 
 def _ref_search(ref_sp, ref_play, board, rounds, k):
-    """Run the reference: new_tree + `rounds` simulate() calls."""
+    """Run the reference: new_tree + `rounds` simulate() calls (with the
+    symmetry list truncated to identity for determinism, restored
+    afterwards so other reference-based tests see the full list)."""
     import symmetry as ref_sym
 
-    ref_sym.SYMMETRIES = ref_sym.SYMMETRIES[0:1]  # identity only
-    model = RefDummyModel()
-    policy = model.predict_on_batch(np.asarray(board)[None].astype(np.float32))[0][0]
-    tree = ref_play.new_tree(policy, np.asarray(board)[None], add_noise=False)
-    for _ in range(rounds):
-        test_board = np.copy(np.asarray(board)[None])
-        original_player = test_board[0, 0, 0, -1]
-        ref_sp.simulate(tree, test_board, model, k, original_player)
+    orig_symmetries = ref_sym.SYMMETRIES
+    ref_sym.SYMMETRIES = orig_symmetries[0:1]  # identity only
+    try:
+        model = RefDummyModel()
+        policy = model.predict_on_batch(
+            np.asarray(board)[None].astype(np.float32))[0][0]
+        tree = ref_play.new_tree(policy, np.asarray(board)[None],
+                                 add_noise=False)
+        for _ in range(rounds):
+            test_board = np.copy(np.asarray(board)[None])
+            original_player = test_board[0, 0, 0, -1]
+            ref_sp.simulate(tree, test_board, model, k, original_player)
+    finally:
+        ref_sym.SYMMETRIES = orig_symmetries
     counts = np.zeros(A, np.int64)
     values = np.zeros(A, np.float64)
     for a, node in tree["subtree"].items():
