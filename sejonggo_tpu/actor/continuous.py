@@ -1,0 +1,206 @@
+"""Continuous self-play: finished games respawn in place.
+
+play_games (selfplay.py) steps a fixed batch until ALL games finish,
+so late-game slots idle while stragglers drain — the lockstep cost of
+variable-length games (SURVEY.md §7 hard parts).  Here every slot is
+always live: when a game ends (resign / both-passed / move cap) its
+slot is scored and respawned as a fresh game inside the same jitted
+step, so the device never computes on dead games.  The host harvests
+per-slot move records and flushes each finished game to the replay
+sink with its value targets.
+
+This is the TPU-native replacement for the reference's
+N_GAME_PROCESS=32 independent game processes (selfplay_worker.py):
+throughput scales with the slot count instead of the process count.
+"""
+from __future__ import annotations
+
+import functools
+from functools import partial
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sejonggo_tpu.config import SearchConfig
+from sejonggo_tpu.goenv import engine
+from sejonggo_tpu.search import (
+    advance_root_batch,
+    decide_batch,
+    new_tree_batch,
+    policy_target_batch,
+    run_search,
+)
+
+from sejonggo_tpu.actor.selfplay import _tree_where
+
+
+@functools.lru_cache(maxsize=16)
+def _make_continuous_step(predict: Callable, search: SearchConfig, size: int,
+                          selfplay: bool, stop_exploration: int,
+                          max_moves: int, komi: float):
+    cap = search.capacity()
+    num_points = size * size
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def cstep(state, rng, resign_thresholds, variables):
+        boards, trees, tree_valid, skipped_last, move_n = state
+        b = boards.shape[0]
+        player = boards[:, 0, 0, 16].astype(jnp.int32)
+        greedy = move_n >= stop_exploration
+
+        rng, r_noise, r_search, r_decide = jax.random.split(rng, 4)
+        predict_fn = lambda x: predict(variables, x)  # noqa: E731
+
+        feats = boards.astype(jnp.float32)
+        policies, values = predict_fn(feats)
+        values = values.reshape(b)
+
+        resign_now = (~jnp.isnan(resign_thresholds)) & (
+            values <= resign_thresholds)
+        move_valid = ~resign_now
+
+        fresh = new_tree_batch(
+            policies, boards, cap,
+            rng=r_noise if selfplay else None,
+            dirichlet_alpha=search.dirichlet_alpha,
+            epsilon=search.dirichlet_epsilon)
+        tree_fresh = move_valid & ~tree_valid
+        trees = _tree_where(tree_valid, trees, fresh)
+        pre_search = trees
+
+        trees = run_search(
+            trees, predict_fn, r_search,
+            simulations=search.simulations, batch_size=search.batch_size,
+            c_puct=search.c_puct, negamax=search.negamax,
+            use_symmetry=search.use_symmetry)
+        actions = decide_batch(trees, greedy, r_decide)
+        ptargets = policy_target_batch(trees, search.policy_target)
+
+        pass_action = jnp.asarray(num_points, jnp.int32)
+        actions = jnp.where(move_valid, actions, pass_action)
+        is_pass = actions == pass_action
+
+        new_boards = engine.step_batch(boards, actions)
+        new_boards = jnp.where(move_valid.reshape(-1, 1, 1, 1),
+                               new_boards, boards)
+
+        adv, av = advance_root_batch(trees, actions,
+                                     reserve=search.simulations)
+        trees = _tree_where(move_valid, adv, pre_search)
+        tree_valid = jnp.where(move_valid, av, tree_valid)
+
+        ended_bothpass = move_valid & skipped_last & is_pass
+        ended_cap = move_valid & (move_n + 1 >= max_moves)
+        ended = resign_now | ended_bothpass | ended_cap
+
+        # score ended games (area winner on the post-move board, the
+        # reference parity rule; resign winner = opponent of resigner)
+        sw, bp, wp = jax.vmap(partial(engine.score, komi=komi))(new_boards)
+        area_winner = sw.astype(jnp.int32)
+        resign_winner = jnp.where(resign_now, -player, area_winner)
+
+        # respawn
+        fresh_board = jnp.broadcast_to(
+            engine.init_board(size), boards.shape).astype(boards.dtype)
+        boards_out = jnp.where(ended.reshape(-1, 1, 1, 1), fresh_board,
+                               new_boards)
+        tree_valid = jnp.where(ended, False, tree_valid)
+        move_n_out = jnp.where(ended, 0, move_n + 1)
+        skipped_out = jnp.where(ended | ~move_valid, False, is_pass)
+
+        record = dict(
+            boards=boards, policy_targets=ptargets, values=values,
+            actions=actions, players=player, move_valid=move_valid,
+            tree_fresh=tree_fresh, ended=ended,
+            area_winner=area_winner, resign_winner=resign_winner,
+            resigned=resign_now,
+            black_points=bp, white_points=wp,
+        )
+        return (boards_out, trees, tree_valid, skipped_out, move_n_out), record
+
+    return cstep
+
+
+class ContinuousSelfPlay:
+    """Streaming self-play generator over B always-live slots."""
+
+    def __init__(self, predict: Callable, variables, *, size: int,
+                 komi: float, search: SearchConfig, game_batch: int,
+                 stop_exploration: int = 30, selfplay: bool = True,
+                 max_moves: Optional[int] = None, rng=None,
+                 threshold_fn: Optional[Callable[[], float]] = None):
+        self.predict = predict
+        self.variables = variables
+        self.size = size
+        self.komi = komi
+        self.search = search
+        self.b = game_batch
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.max_moves = max_moves or 2 * size * size
+        self._step = _make_continuous_step(
+            predict, search, size, selfplay, stop_exploration,
+            self.max_moves, komi)
+
+        boards = jnp.stack([engine.init_board(size)] * self.b)
+        trees = new_tree_batch(
+            jnp.zeros((self.b, size * size + 1), jnp.float32), boards,
+            search.capacity())
+        self.state = (boards, trees, jnp.zeros((self.b,), bool),
+                      jnp.zeros((self.b,), bool),
+                      jnp.zeros((self.b,), jnp.int32))
+        self._slot_moves: List[List[Dict]] = [[] for _ in range(self.b)]
+        # per-game resign thresholds, fixed for a game's lifetime
+        # (reference assigns resign per game, self_play.py:310-313)
+        self._threshold_fn = threshold_fn or (lambda: float("nan"))
+        self._thresholds = np.asarray(
+            [self._threshold_fn() for _ in range(self.b)], np.float32)
+        self.steps = 0
+        self.games_finished = 0
+        self.moves_recorded = 0
+
+    def run(self, num_games: int, thresholds_fn=None, on_game=None):
+        """Play until `num_games` finish; returns finished-game dicts.
+
+        thresholds_fn(b) -> (B,) per-step override of the per-game
+        thresholds (NaN = off); on_game(game) called per completion.
+        """
+        finished = []
+        while len(finished) < num_games:
+            if thresholds_fn is not None:
+                thr = jnp.asarray(thresholds_fn(self.b), jnp.float32)
+            else:
+                thr = jnp.asarray(self._thresholds)
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, record = self._step(self.state, sub, thr,
+                                            self.variables)
+            rec = {k: np.asarray(v) for k, v in record.items()}
+            self.steps += 1
+            for g in range(self.b):
+                if rec["move_valid"][g]:
+                    self._slot_moves[g].append({
+                        "board": rec["boards"][g],
+                        "policy": rec["policy_targets"][g],
+                        "value": float(rec["values"][g]),
+                        "action": int(rec["actions"][g]),
+                        "player": int(rec["players"][g]),
+                    })
+                    self.moves_recorded += 1
+                if rec["ended"][g]:
+                    game = {
+                        "moves": self._slot_moves[g],
+                        "winner": int(rec["area_winner"][g]),
+                        "resign_winner": int(rec["resign_winner"][g]),
+                        "resigned": bool(rec["resigned"][g]),
+                        "black_points": float(rec["black_points"][g]),
+                        "white_points": float(rec["white_points"][g]),
+                        "holdout": bool(np.isnan(self._thresholds[g])),
+                    }
+                    self._slot_moves[g] = []
+                    self._thresholds[g] = self._threshold_fn()
+                    self.games_finished += 1
+                    finished.append(game)
+                    if on_game is not None:
+                        on_game(game)
+        return finished

@@ -37,6 +37,31 @@ class ResignCalibrator:
         self._last_holdout = np.isnan(t)
         return t
 
+    # --- game-level API (continuous actor) ------------------------------
+
+    def threshold_for_new_game(self) -> float:
+        """Threshold assigned to one newly spawned game (NaN = holdout
+        or uncalibrated)."""
+        if self.current is not None and self._rng.rand() > self.holdout_percent:
+            return float(self.current)
+        return float("nan")
+
+    def observe_game(self, game: dict) -> None:
+        """Update from one finished continuous-actor game dict; only
+        games that ran without a threshold contribute."""
+        if not game.get("holdout", True):
+            return
+        w = int(game["winner"])
+        if w == 0 or not game["moves"]:
+            return
+        vals = [m["value"] for m in game["moves"] if m["player"] == w]
+        if not vals:
+            return
+        self.min_values.append(float(min(vals)))
+        idx = int(self.allowed_error * len(self.min_values))
+        if idx > 0:
+            self.current = float(np.sort(self.min_values)[idx])
+
     def observe(self, games) -> None:
         """Update calibration from a finished GameBatch: only games that
         ran without a threshold contribute (reference self_play.py:319-330)."""

@@ -46,6 +46,22 @@ class ReplayBuffer:
         self.total_moves += int(mask.sum())
         return int(mask.sum())
 
+    def add_game(self, game: dict) -> int:
+        """Ingest one continuous-actor game dict ({moves, winner})."""
+        moves = game["moves"]
+        if not moves:
+            return 0
+        w = int(game["winner"])
+        boards = np.stack([m["board"] for m in moves])
+        policies = np.stack([m["policy"] for m in moves])
+        players = np.asarray([m["player"] for m in moves])
+        values = (0.0 if w == 0 else np.where(players == w, 1.0, -1.0)
+                  ) * np.ones(len(moves), np.float32)
+        self._append(boards, policies, values.astype(np.float32))
+        self.total_games += 1
+        self.total_moves += len(moves)
+        return len(moves)
+
     def _append(self, boards, policies, values):
         n = boards.shape[0]
         idx = (self.cursor + np.arange(n)) % self.capacity

@@ -78,33 +78,39 @@ class Pipeline:
 
     def selfplay_phase(self, num_games: int = 0) -> dict:
         """Generate games with the BEST model (reference
-        main_selfplay.py / model_self_play self_play.py:293-340)."""
+        main_selfplay.py / model_self_play self_play.py:293-340) using
+        the continuous respawning actor: every device slot stays live
+        instead of draining a lockstep batch."""
+        from sejonggo_tpu.actor.continuous import ContinuousSelfPlay
+
         cfg = self.cfg
         best = self.store.best_name()
         state = self.load(best)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         n = num_games or cfg.selfplay.num_games
-        b = cfg.selfplay.game_batch
-        played = 0
-        moves = 0
         t0 = time.time()
-        while played < n:
-            thresholds = self.calibrator.thresholds(b)
-            games = play_games(
-                self.predict, size=cfg.go.size, komi=cfg.go.komi,
-                search=cfg.search, game_batch=b, rng=self._split(),
-                variables1=variables, selfplay=True,
-                stop_exploration=cfg.selfplay.stop_exploration,
-                resign_thresholds=jnp.asarray(thresholds),
-            )
-            self.calibrator.observe(games)
-            moves += self.replay.add_game_batch(games)
-            played += b
+        actor = ContinuousSelfPlay(
+            self.predict, variables, size=cfg.go.size, komi=cfg.go.komi,
+            search=cfg.search, game_batch=cfg.selfplay.game_batch,
+            stop_exploration=cfg.selfplay.stop_exploration,
+            rng=self._split(),
+            threshold_fn=self.calibrator.threshold_for_new_game)
+
+        moves = 0
+
+        def on_game(game):
+            nonlocal moves
+            self.calibrator.observe_game(game)
+            moves += self.replay.add_game(game)
+
+        actor.run(n, on_game=on_game)
         dt = time.time() - t0
+        sims = moves * cfg.search.simulations
         stats = {
-            "phase": "selfplay", "model": best, "games": played,
+            "phase": "selfplay", "model": best, "games": actor.games_finished,
             "moves": moves, "seconds": dt,
             "moves_per_s": moves / max(dt, 1e-9),
+            "sims_per_s": sims / max(dt, 1e-9),
             "resign_threshold": self.calibrator.current,
         }
         logger.info("selfplay: %s", stats)

@@ -35,7 +35,7 @@ def test_pipeline_one_generation(tmp_path):
     results = pipe.run(generations=1)
     assert len(results) == 1
     r = results[0]
-    assert r["selfplay"]["games"] == 4
+    assert r["selfplay"]["games"] >= 4  # continuous actor may finish extras
     assert r["selfplay"]["moves"] > 0
     assert r["train"]["from"] == "model_1"
     assert r["train"]["to"] == "model_2"
