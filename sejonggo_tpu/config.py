@@ -81,6 +81,50 @@ class SearchConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class MichiConfig:
+    """Model-free michi-style RAVE engine (reference conf.py:84-105,
+    mcts1/).  Defaults mirror the reference knobs."""
+
+    n_sims: int = 1400             # N_SIMS
+    expand_visits: int = 8         # EXPAND_VISITS
+    rave_equiv: float = 3500.0     # RAVE_EQUIV
+    prior_even: float = 10.0       # PRIOR_EVEN (pw gets half)
+    prior_capture_one: float = 15.0
+    prior_capture_many: float = 30.0
+    prior_pat3: float = 10.0
+    prior_cfg: Tuple[float, ...] = (24.0, 22.0, 8.0)
+    prior_empty_area: float = 10.0
+    prior_selfatari: float = 10.0  # negative prior (pw += 0)
+    prior_largepattern: float = 100.0
+    resign_thres: float = 0.2      # RESIGN_THRES
+    fastplay20: float = 0.8        # FASTPLAY20_THRES
+    fastplay5: float = 0.95        # FASTPLAY5_THRES
+    prob_capture: float = 0.9      # PROB_HEURISTIC['capture']
+    prob_pat3: float = 0.95        # PROB_HEURISTIC['pat3']
+    prob_ssareject: float = 0.9    # PROB_SSAREJECT
+    prob_rsareject: float = 0.5    # PROB_RSAREJECT
+    use_ladders: bool = True       # read ladders in priors (fix_atari
+    #                                twolib path; expensive_ok analog)
+    komi: float = 5.5
+    max_tree_depth: int = 0        # 0 = 2*size^2 at build time
+    capacity: int = 0              # node slots; 0 = auto
+
+    def node_capacity(self) -> int:
+        if self.capacity:
+            return self.capacity
+        # one slot per expand_visits simulations, plus root + slack
+        return self.n_sims // max(self.expand_visits, 1) + 8
+
+    def max_depth(self, size: int) -> int:
+        return self.max_tree_depth or min(2 * size * size,
+                                          self.node_capacity())
+
+    def playout_cap(self, size: int) -> int:
+        # MAX_GAME_LEN = 2 * N^2 (tree_search.py:8)
+        return 2 * size * size
+
+
+@dataclasses.dataclass(frozen=True)
 class SelfPlayConfig:
     """Self-play parameters (reference conf.py:27-40)."""
 

@@ -119,6 +119,72 @@ class GoEngine:
         return x, y, value
 
 
+class MichiEngine:
+    """Single-game michi-style engine (model-free RAVE search).
+
+    The reference's mcts1/ engine had no frontend at all (never imported
+    by the pipeline); here it speaks the same GTP protocol as the
+    network engine.  Resigns below MichiConfig.resign_thres
+    (conf.py:89 RESIGN_THRES)."""
+
+    def __init__(self, *, size: int, komi: float, michi=None, seed: int = 0):
+        import types
+
+        from sejonggo_tpu.config import MichiConfig
+
+        self.size = size
+        self.komi = komi
+        self.cfg = michi or MichiConfig(komi=komi)
+        self.search = types.SimpleNamespace(simulations=self.cfg.n_sims)
+        self.rng = jax.random.PRNGKey(seed)
+        self._genmove_jit = None
+        self._jit_komi = None
+        self.clear()
+
+    def clear(self):
+        self.board = engine.init_board(self.size)
+        self.move_n = 0
+        self.last_action = -1
+
+    @property
+    def player(self) -> int:
+        return int(self.board[0, 0, 16])
+
+    def _split(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def play(self, color: int, x: int, y: int, update_tree: bool = True):
+        self.board, _ = engine.play_at(self.board, x, y, color)
+        self.last_action = (self.size * self.size if y >= self.size
+                            else y * self.size + x)
+        self.move_n += 1
+        return self.board
+
+    def genmove(self, color: int):
+        """Returns (x, y, winrate); y == size means pass, y == size + 1
+        means resign."""
+        import dataclasses as _dc
+
+        from sejonggo_tpu.search.michi import michi_genmove_batch
+
+        if self.player != color:
+            self.board = engine._swap_sides(self.board)
+        if self._genmove_jit is None or self._jit_komi != self.komi:
+            cfg = _dc.replace(self.cfg, komi=self.komi)
+            self._genmove_jit = jax.jit(
+                lambda b, r: michi_genmove_batch(b, r, cfg))
+            self._jit_komi = self.komi
+        acts, wrs = self._genmove_jit(self.board[None], self._split())
+        action, wr = int(acts[0]), float(wrs[0])
+        if wr < self.cfg.resign_thres:
+            return 0, self.size + 1, wr
+        x, y = (action % self.size, action // self.size) \
+            if action < self.size * self.size else (0, self.size)
+        self.play(color, x, y)
+        return x, y, wr
+
+
 class GTPFrontend:
     """GTP v2 command loop (reference GTPEngine sejonggo.py:71-160)."""
 
@@ -223,9 +289,15 @@ class GTPFrontend:
                 break
 
 
-def _build_engine(args) -> GoEngine:
+def _build_engine(args):
     cfg: Config = small_9x9() if args.preset == "tiny" else full_19x19()
-    if args.dummy:
+    if getattr(args, "engine", "net") == "michi":
+        from sejonggo_tpu.config import MichiConfig
+
+        michi = MichiConfig(komi=cfg.go.komi, n_sims=args.sims) \
+            if args.sims else MichiConfig(komi=cfg.go.komi)
+        return MichiEngine(size=cfg.go.size, komi=cfg.go.komi, michi=michi)
+    if args.dummy or getattr(args, "engine", "net") == "dummy":
         from sejonggo_tpu.nets import dummy_actor_fn
 
         return GoEngine(dummy_actor_fn, None, size=cfg.go.size,
@@ -253,6 +325,11 @@ def main():
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--dummy", action="store_true",
                         help="play with the deterministic stub net")
+    parser.add_argument("--engine", choices=["net", "dummy", "michi"],
+                        default="net",
+                        help="michi = model-free RAVE engine (mcts1 parity)")
+    parser.add_argument("--sims", type=int, default=0,
+                        help="override simulations for --engine michi")
     args = parser.parse_args()
     engine_ = _build_engine(args)
     frontend = GTPFrontend(engine_)

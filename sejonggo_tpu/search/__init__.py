@@ -6,3 +6,9 @@ from sejonggo_tpu.search.mcts import (
     run_search,
     simulate_round,
 )
+from sejonggo_tpu.search.michi import (
+    MichiTree,
+    michi_genmove_batch,
+    michi_search_batch,
+    new_michi_tree_batch,
+)
