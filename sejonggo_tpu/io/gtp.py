@@ -127,10 +127,13 @@ class MichiEngine:
     network engine.  Resigns below MichiConfig.resign_thres
     (conf.py:89 RESIGN_THRES)."""
 
-    def __init__(self, *, size: int, komi: float, michi=None, seed: int = 0):
+    def __init__(self, *, size: int, komi: float, michi=None, seed: int = 0,
+                 spat_file: Optional[str] = None,
+                 prob_file: Optional[str] = None):
         import types
 
         from sejonggo_tpu.config import MichiConfig
+        from sejonggo_tpu.search.patterns import PatternStore
 
         self.size = size
         self.komi = komi
@@ -139,6 +142,12 @@ class MichiEngine:
         self.rng = jax.random.PRNGKey(seed)
         self._genmove_jit = None
         self._jit_komi = None
+        # optional pachi-format large patterns (reference conf.py:85-86;
+        # inert when files are absent, exactly like the reference)
+        self.patterns = PatternStore()
+        if spat_file and prob_file:
+            self.patterns.load_spat(spat_file)
+            self.patterns.load_probs(prob_file)
         self.clear()
 
     def clear(self):
@@ -172,10 +181,21 @@ class MichiEngine:
             self.board = engine._swap_sides(self.board)
         if self._genmove_jit is None or self._jit_komi != self.komi:
             cfg = _dc.replace(self.cfg, komi=self.komi)
+            use_patterns = bool(self.patterns)
             self._genmove_jit = jax.jit(
-                lambda b, r: michi_genmove_batch(b, r, cfg))
+                (lambda b, r, rb: michi_genmove_batch(b, r, cfg, rb))
+                if use_patterns else
+                (lambda b, r: michi_genmove_batch(b, r, cfg)))
             self._jit_komi = self.komi
-        acts, wrs = self._genmove_jit(self.board[None], self._split())
+        if self.patterns:
+            from sejonggo_tpu.search.patterns import root_prior_bonus
+
+            bonus = root_prior_bonus(self.patterns, self.board,
+                                     self.cfg.prior_largepattern)
+            acts, wrs = self._genmove_jit(
+                self.board[None], self._split(), bonus[None])
+        else:
+            acts, wrs = self._genmove_jit(self.board[None], self._split())
         action, wr = int(acts[0]), float(wrs[0])
         if wr < self.cfg.resign_thres:
             return 0, self.size + 1, wr
@@ -296,7 +316,9 @@ def _build_engine(args):
 
         michi = MichiConfig(komi=cfg.go.komi, n_sims=args.sims) \
             if args.sims else MichiConfig(komi=cfg.go.komi)
-        return MichiEngine(size=cfg.go.size, komi=cfg.go.komi, michi=michi)
+        return MichiEngine(size=cfg.go.size, komi=cfg.go.komi, michi=michi,
+                           spat_file=getattr(args, "spat", None),
+                           prob_file=getattr(args, "prob", None))
     if args.dummy or getattr(args, "engine", "net") == "dummy":
         from sejonggo_tpu.nets import dummy_actor_fn
 
@@ -330,6 +352,10 @@ def main():
                         help="michi = model-free RAVE engine (mcts1 parity)")
     parser.add_argument("--sims", type=int, default=0,
                         help="override simulations for --engine michi")
+    parser.add_argument("--spat", default=None,
+                        help="pachi .spat pattern file for --engine michi")
+    parser.add_argument("--prob", default=None,
+                        help="pachi .prob pattern file for --engine michi")
     args = parser.parse_args()
     engine_ = _build_engine(args)
     frontend = GTPFrontend(engine_)

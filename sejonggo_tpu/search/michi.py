@@ -147,13 +147,20 @@ def _empty_tree(capacity: int, size: int) -> MichiTree:
     )
 
 
-def new_michi_tree(board, cfg: MichiConfig, last_action=-1) -> MichiTree:
+def new_michi_tree(board, cfg: MichiConfig, last_action=-1,
+                   root_bonus=None) -> MichiTree:
     """Fresh tree rooted at `board` with the root pre-expanded
-    (tree_search.py:67-68)."""
+    (tree_search.py:67-68).  root_bonus: optional (A,) extra prior
+    added to pv AND pw (the large-pattern term, patterns.py —
+    tree_node.py:81-86 applies it at every expansion; the host-side
+    string matcher can only reach the root here)."""
     capacity = cfg.node_capacity()
     size = board.shape[-3]
     t = _empty_tree(capacity, size)
     pv, pw = michi_priors(board, jnp.asarray(last_action, jnp.int32), cfg)
+    if root_bonus is not None:
+        bonus = jnp.asarray(root_bonus, jnp.float32)
+        pv, pw = pv + bonus, pw + bonus
     return t._replace(
         node_board=t.node_board.at[0].set(board),
         node_playable=t.node_playable.at[0].set(playable_mask(board)),
@@ -484,9 +491,15 @@ def michi_search_batch(trees: MichiTree, rng, cfg: MichiConfig,
     return trees
 
 
-def michi_genmove_batch(boards, rng, cfg: MichiConfig):
+def michi_genmove_batch(boards, rng, cfg: MichiConfig, root_bonus=None):
     """(actions, winrates): search each board and pick the most visited
-    move; callers may resign below cfg.resign_thres (conf.py:89)."""
-    trees = new_michi_tree_batch(boards, cfg)
+    move; callers may resign below cfg.resign_thres (conf.py:89).
+    root_bonus: optional (B, A) large-pattern prior (patterns.py)."""
+    if root_bonus is None:
+        trees = new_michi_tree_batch(boards, cfg)
+    else:
+        trees = jax.vmap(
+            lambda b, rb: new_michi_tree(b, cfg, root_bonus=rb))(
+            boards, jnp.asarray(root_bonus, jnp.float32))
     trees = michi_search_batch(trees, rng, cfg)
     return jax.vmap(best_root_stats)(trees)
