@@ -152,6 +152,42 @@ def extract_archives(archive_dir: str, out_dir: str) -> int:
     return n
 
 
+def scrape_links(html: str, suffix: str = "") -> list:
+    """Extract http(s) links from an index page, optionally filtered by
+    suffix (reference downloader.py:99-113's regex scrape of the
+    u-go/orb archive pages, as a pure function)."""
+    import re as _re
+
+    links = [m[0] for m in _re.findall(
+        r"((https?)://[\w\d:#@%/;$()~_?+\-=\\.&]*)", html)]
+    if suffix:
+        links = [l for l in links if l.endswith(suffix)]
+    # preserve order, drop duplicates
+    seen = set()
+    out = []
+    for l in links:
+        if l not in seen:
+            seen.add(l)
+            out.append(l)
+    return out
+
+
+def download_index(url: str, dest_dir: str, suffix: str = ".sgf") -> int:
+    """Scrape an archive index page and fetch every linked file
+    (reference download_from_url downloader.py:99-113; sequential
+    instead of a 64-process pool — IO-bound, not CPU-bound).  Returns
+    files fetched; 0 when the page is unreachable (no network egress
+    here, like any air-gapped deployment)."""
+    from urllib import request
+
+    try:
+        with request.urlopen(url) as resp:  # noqa: S310
+            html = resp.read().decode("utf-8", "replace")
+    except Exception:  # noqa: BLE001 — mirror reference tolerance
+        return 0
+    return download_archives(scrape_links(html, suffix), dest_dir)
+
+
 def download_archives(urls, dest_dir: str) -> int:
     """Fetch SGF archives (reference downloader.py:88-111).  Kept for
     API parity; most deployments (including this one, which has no

@@ -87,3 +87,25 @@ def test_kgs_pretrain_phase(tmp_path):
     assert np.isfinite(stats["loss"])
     assert pipe.store.exists("model_2")
     assert pipe.store.exists("backup")
+
+
+def test_scrape_links_filters_and_dedupes():
+    from sejonggo_tpu.io.kgs import scrape_links
+
+    html = (
+        '<a href="https://example.org/games/a.sgf">a</a>'
+        '<a href="http://example.org/games/b.sgf">b</a>'
+        '<a href="https://example.org/games/a.sgf">dup</a>'
+        '<a href="https://example.org/index.html">idx</a>'
+    )
+    links = scrape_links(html, ".sgf")
+    assert links == ["https://example.org/games/a.sgf",
+                     "http://example.org/games/b.sgf"]
+    assert len(scrape_links(html)) == 3
+
+
+def test_download_index_unreachable_returns_zero(tmp_path):
+    from sejonggo_tpu.io.kgs import download_index
+
+    assert download_index("http://127.0.0.1:1/none.html",
+                          str(tmp_path)) == 0
