@@ -33,7 +33,10 @@ def main():
         enable_pallas_flood(True)
 
     size = 9
-    game_batch = 256
+    # B=2048 is the single-chip v5e sweet spot (measured sweep: 256->14M,
+    # 512->62M, 1024->58M, 2048->173M env-steps/s; 4096 exceeds the
+    # compiler's memory budget for this program)
+    game_batch = 2048
     search = SearchConfig(simulations=64, batch_size=16, use_symmetry=True)
     net = AZNet.from_config(
         size, NetConfig(blocks=4, filters=64, value_hidden=64,
