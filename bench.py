@@ -59,25 +59,33 @@ def main():
     thresholds = jnp.full((b,), jnp.nan, jnp.float32)
     rng = jax.random.PRNGKey(0)
 
-    # warmup (compile)
+    import numpy as np
+
+    # warmup (compile) + execution check: on the axon tunnel
+    # block_until_ready can return for programs that silently failed
+    # (see utils/platform.py), so sync via a real device->host fetch
+    # and verify the values are finite — a bench of a program that
+    # never ran is worthless.
     rng, sub = jax.random.split(rng)
     state, record, _ = move_step(state, sub, greedy, thresholds, variables, None)
-    jax.block_until_ready(record["values"])
+    warm = np.asarray(record["values"])
+    assert np.isfinite(warm).all(), "move_step produced non-finite values"
 
     # several timed windows, best wins: the device is reached over a
     # shared tunnel with high run-to-run latency variance
-    n_moves = 8
+    n_moves = 4
     best_dt = float("inf")
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_moves):
             rng, sub = jax.random.split(rng)
             state, record, _ = move_step(state, sub, greedy, thresholds,
                                          variables, None)
-        # block on the full final state (trees included), so the last
-        # step's search is inside the timed window
-        jax.block_until_ready(state)
+        # sync through a fetch that depends on the final state's search
+        # (child_N row), so the full window's work is inside the timing
+        sync = np.asarray(state[1].child_N[0]).sum()
         best_dt = min(best_dt, time.perf_counter() - t0)
+        assert sync >= 0
 
     env_steps = game_batch * search.simulations * n_moves
     value = env_steps / best_dt

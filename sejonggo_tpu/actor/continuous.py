@@ -43,7 +43,9 @@ def _make_continuous_step(predict: Callable, search: SearchConfig, size: int,
     cap = search.capacity()
     num_points = size * size
 
-    @partial(jax.jit, donate_argnums=(0,))
+    from sejonggo_tpu.utils.platform import donate_argnums
+
+    @partial(jax.jit, **donate_argnums(0))
     def cstep(state, rng, resign_thresholds, variables):
         boards, trees, tree_valid, skipped_last, move_n = state
         b = boards.shape[0]

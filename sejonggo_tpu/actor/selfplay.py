@@ -120,7 +120,9 @@ def _make_move_step(predict1: Callable, predict2: Optional[Callable],
 
         return both
 
-    @partial(jax.jit, donate_argnums=(0,))
+    from sejonggo_tpu.utils.platform import donate_argnums
+
+    @partial(jax.jit, **donate_argnums(0))
     def move_step(state, rng, greedy, resign_thresholds, variables1,
                   variables2):
         """One move for all B games.

@@ -82,8 +82,10 @@ def make_train_step(net, tx, loss_mode: str = "agz",
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
 
+    from sejonggo_tpu.utils.platform import donate_argnums
+
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(step_fn, **donate_argnums(0))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -92,5 +94,5 @@ def make_train_step(net, tx, loss_mode: str = "agz",
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, data, data),
-        donate_argnums=(0,),
+        **donate_argnums(0),
     )
