@@ -126,33 +126,34 @@ def _expand_backup(tree: Tree, leaf_p, leaf_a, leaf_boards, active,
     else:
         init_vals = jnp.where(leaf_player == root_player, v, -v)
 
-    def climb_one(i, carry):
-        cn, cw, rn, rw = carry
+    # All k leaves climb to the root in lockstep: one (k,)-wide
+    # scatter-add per tree level instead of k sequential walks
+    # (max-depth iterations, not sum-of-depths — the dominant cost of a
+    # search round on TPU).  Additive updates commute, so this matches
+    # the reference's sequential per-leaf backup exactly
+    # (self_play.py:84-92,108-116).
+    def cond(st):
+        return jnp.any(st[0])
 
-        def cond(state):
-            return ~state[5]
+    def body(st):
+        alive, p, a, val, cn, cw, rn, rw = st
+        inc = alive.astype(jnp.int32)
+        cn = cn.at[p, a].add(inc, mode="drop")
+        cw = cw.at[p, a].add(jnp.where(alive, val, 0.0), mode="drop")
+        at_root = alive & (p == 0)
+        # reference backs the same value into the (parentless) root node
+        # too (self_play.py:108-116); in negamax mode the root-edge value
+        # IS the root-perspective value (one flip past the edge, flipped
+        # back — see the scalar derivation in git history).
+        rn = rn + jnp.sum(at_root.astype(jnp.int32))
+        rw = rw + jnp.sum(jnp.where(at_root, val, 0.0))
+        nval = -val if negamax else val
+        return (alive & ~at_root, parent[p], parent_action[p], nval,
+                cn, cw, rn, rw)
 
-        def body(state):
-            p, a, val, cn, cw, _ = state
-            cn = cn.at[p, a].add(1)
-            cw = cw.at[p, a].add(val)
-            done = p == 0
-            nval = -val if negamax else val
-            return parent[p], parent_action[p], nval, cn, cw, done
-
-        state = (leaf_p[i], leaf_a[i], init_vals[i], cn, cw, ~active[i])
-        p, a, val, cn, cw, _ = lax.while_loop(cond, body, state)
-        # reference backs the same value into the (parentless) root node too
-        # (self_play.py:108-116); in negamax mode `val` holds the value one
-        # flip past the last (root-level) edge, which is the opponent-of-root
-        # perspective — flip back.
-        root_val = -val if negamax else val
-        rn = rn + jnp.where(active[i], 1, 0)
-        rw = rw + jnp.where(active[i], root_val, 0.0)
-        return cn, cw, rn, rw
-
-    cn, cw, rn, rw = lax.fori_loop(
-        0, k, climb_one, (tree.child_N, tree.child_W, tree.root_N, tree.root_W))
+    st = (active, leaf_p, leaf_a, init_vals,
+          tree.child_N, tree.child_W, tree.root_N, tree.root_W)
+    _, _, _, _, cn, cw, rn, rw = lax.while_loop(cond, body, st)
 
     return tree._replace(
         node_board=node_board, node_P=node_P, node_legal=node_legal,
