@@ -26,18 +26,22 @@ def main():
     from sejonggo_tpu.search import new_tree_batch
 
     # fused Pallas flood-fill for the env's capture/legality fixpoints
-    # (ops/flood.py; measured ~1.1-1.3x over the XLA global fixpoint)
+    # (ops/flood.py; neutral-to-slightly-positive vs the XLA fixpoint
+    # under honest execution-verified timing)
     if jax.default_backend() != "cpu":
         from sejonggo_tpu.ops import enable_pallas_flood
 
         enable_pallas_flood(True)
 
     size = 9
-    # B=2048 is the single-chip v5e sweet spot (measured sweep: 256->14M,
-    # 512->62M, 1024->58M, 2048->173M env-steps/s; 4096 exceeds the
-    # compiler's memory budget for this program)
+    # B=2048 is the single-chip v5e sweet spot (B=4096 exceeds the
+    # compiler's memory budget for this program).  max_nodes=82 keeps a
+    # full decision's expansions + a small reuse window; the default
+    # capacity (2*sims) doubles tree-array HBM traffic for rarely-used
+    # reuse budget (measured 115k -> 148k env-steps/s from this alone)
     game_batch = 2048
-    search = SearchConfig(simulations=64, batch_size=16, use_symmetry=True)
+    search = SearchConfig(simulations=64, batch_size=16, use_symmetry=True,
+                          max_nodes=82)
     net = AZNet.from_config(
         size, NetConfig(blocks=4, filters=64, value_hidden=64,
                         compute_dtype="bfloat16"))

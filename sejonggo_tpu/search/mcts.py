@@ -183,11 +183,13 @@ def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
     leaf_boards = flat_boards.reshape((b, k) + shape)
     legal = legal.reshape(b, k, -1)
 
-    flat = flat_boards.astype(jnp.float32)
+    # boards stay int8 through the symmetry gather (4x less HBM traffic
+    # than transforming the float32 features); predict fns cast inputs
     if use_symmetry:
-        policies, values = random_symmetry_predict(predict_fn, flat, rng)
+        policies, values = random_symmetry_predict(predict_fn, flat_boards,
+                                                   rng)
     else:
-        policies, values = predict_fn(flat)
+        policies, values = predict_fn(flat_boards)
     policies = policies.reshape(b, k, -1)
     values = values.reshape(b, k)
     return jax.vmap(partial(_expand_backup, negamax=negamax))(
