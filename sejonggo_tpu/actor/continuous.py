@@ -88,7 +88,7 @@ def _make_continuous_step(predict: Callable, search: SearchConfig, size: int,
         new_boards = jnp.where(move_valid.reshape(-1, 1, 1, 1),
                                new_boards, boards)
 
-        adv, av = advance_root_batch(trees, actions,
+        adv, av = advance_root_batch(trees, actions, new_boards,
                                      reserve=search.simulations)
         trees = _tree_where(move_valid, adv, pre_search)
         tree_valid = jnp.where(move_valid, av, tree_valid)
@@ -149,7 +149,10 @@ class ContinuousSelfPlay:
         trees = new_tree_batch(
             jnp.zeros((self.b, size * size + 1), jnp.float32), boards,
             search.capacity())
-        self.state = (boards, trees, jnp.zeros((self.b,), bool),
+        # copy: trees.root_board aliases boards (donated pytree must
+        # not contain one buffer twice)
+        self.state = (jnp.array(boards, copy=True), trees,
+                      jnp.zeros((self.b,), bool),
                       jnp.zeros((self.b,), bool),
                       jnp.zeros((self.b,), jnp.int32))
         self._slot_moves: List[List[Dict]] = [[] for _ in range(self.b)]

@@ -193,12 +193,14 @@ def _make_move_step(predict1: Callable, predict2: Optional[Callable],
             move_valid.reshape(-1, 1, 1, 1), new_boards, boards)
 
         reserve = search.simulations
-        adv_active, av = advance_root_batch(active, actions, reserve=reserve)
+        adv_active, av = advance_root_batch(active, actions, new_boards,
+                                            reserve=reserve)
         active = _tree_where(move_valid, adv_active, active_before)
         active_valid = jnp.where(move_valid, av, active_valid)
 
         if dual:
-            adv_other, ov = advance_root_batch(other, actions, reserve=reserve)
+            adv_other, ov = advance_root_batch(other, actions, new_boards,
+                                               reserve=reserve)
             other = _tree_where(move_valid & other_valid, adv_other, other)
             other_valid = jnp.where(move_valid, other_valid & ov, other_valid)
             trees1 = _tree_where(model1_now, active, other)
@@ -272,9 +274,15 @@ def play_games(
     dummy_policy = jnp.zeros((b, size * size + 1), jnp.float32)
     trees1 = new_tree_batch(dummy_policy, boards, cap)
     dual = predict2 is not None
-    trees2 = new_tree_batch(dummy_policy, boards, cap) if dual else None
+    # separate board copy: both trees' root_board would otherwise be
+    # passthrough aliases of one buffer inside the donated state
+    trees2 = new_tree_batch(
+        dummy_policy, jnp.array(boards, copy=True), cap) if dual else None
     state = (
-        boards,
+        # fresh copy: trees1.root_board aliases `boards` (same-dtype
+        # astype is no-copy) and a donated pytree must not contain the
+        # same buffer twice
+        jnp.array(boards, copy=True),
         trees1, jnp.zeros((b,), bool),   # valid1: force fresh trees at move 0
         trees2, jnp.zeros((b,), bool) if dual else None,
         jnp.zeros((b,), bool),           # done

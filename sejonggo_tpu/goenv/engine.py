@@ -163,26 +163,81 @@ def illegal_moves_mask(board):
     <= 1 distinct liberty is captured by the move (its last liberty must
     be the played point, which is adjacent and empty).
     """
-    n = board.shape[-3]
     own = board[:, :, 0] == 1
     opp = board[:, :, 1] == 1
+    ko_pt = (board[:, :, 2].astype(jnp.int32)
+             - board[:, :, 0].astype(jnp.int32)) == 1
+    return _illegal_core(own, opp, ko_pt)
+
+
+def legal_moves_mask(board):
+    """(N*N+1,) bool, True = legal."""
+    return ~illegal_moves_mask(board)
+
+
+def signed_stones(board):
+    """(N, N) int8 black-positive stone grid from a plane board
+    (black = the first mover = +1; reference get_real_board
+    play.py:106-112)."""
+    player = board[0, 0, 16].astype(jnp.int8)
+    return (board[:, :, 0].astype(jnp.int8) - board[:, :, 1].astype(jnp.int8)
+            ) * player
+
+
+def step_stones(stones, side, action):
+    """Apply a move on a signed stone grid: place `side`'s stone at
+    `action` (N*N = pass), resolve captures with the reference's
+    take_stones ordering (opponent groups adjacent to the stone first,
+    then own suicide removal; play.py:182-217).  The compact per-node
+    state of the search tree — history planes live only at the tree
+    root (see search/tree.py)."""
+    n = stones.shape[-2]
+    action = jnp.asarray(action, jnp.int32)
+    side = jnp.asarray(side, jnp.int8)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    onehot = (row * n + col) == action  # all-False when action == pass
+
+    own = (stones == side) | onehot
+    opp = stones == -side
+
     empty = ~(own | opp)
+    dead_opp = opp & ~_flood(opp & _dilate(empty), opp)
+    removed_opp = _flood(dead_opp & _dilate(onehot), dead_opp)
+    opp = opp & ~removed_opp
 
-    ko_pt = (board[:, :, 2].astype(jnp.int32) - board[:, :, 0].astype(jnp.int32)) == 1
+    empty = ~(own | opp)
+    dead_own = own & ~_flood(own & _dilate(empty), own)
+    removed_own = _flood(dead_own & (_dilate(onehot) | onehot), dead_own)
+    own = own & ~removed_own
+
+    return jnp.where(own, side, jnp.where(opp, -side, 0)).astype(jnp.int8)
+
+
+def _illegal_core(own, opp, ko_pt):
+    """Shared legality core (see illegal_moves_mask for semantics)."""
+    n = own.shape[-1]
+    empty = ~(own | opp)
     ko = ko_pt & (jnp.sum(ko_pt) == 1)
-
     opp_mn, opp_mx = _group_minmax_lib(opp, empty)
     opp_capturable = opp & (opp_mn >= opp_mx)
-
     breath = _dilate(empty) | _dilate(opp_capturable)
     legal = empty & ~ko & breath
     illegal = ~legal.reshape(n * n)
     return jnp.concatenate([illegal, jnp.zeros((1,), bool)])
 
 
-def legal_moves_mask(board):
-    """(N*N+1,) bool, True = legal."""
-    return ~illegal_moves_mask(board)
+def illegal_moves_mask_stones(stones, prev_stones, side):
+    """(N*N+1,) illegality mask from a signed stone grid + the previous
+    position's grid (for the simple-ko test).  Equivalent to
+    illegal_moves_mask on the full plane board: plane 0 == (stones ==
+    side), plane 2 == (prev_stones == side) — the history shift plus
+    player swap make plane 2 the *current* side's stones one position
+    ago (play.py:78-80,231,241)."""
+    own = stones == side
+    opp = stones == -side
+    ko_pt = (prev_stones == side) & ~own
+    return _illegal_core(own, opp, ko_pt)
 
 
 @jax.jit

@@ -73,15 +73,16 @@ class GoEngine:
         """Apply an external (or own) move; advance the reused tree if
         it knows this child, else drop it (sejonggo.py:34-45)."""
         action = self.size * self.size if y >= self.size else y * self.size + x
+        new_board, _ = engine.play_at(self.board, x, y, color)
         if update_tree and self.tree_valid:
             trees, valid = advance_root_batch(
-                self.tree, jnp.asarray([action]),
+                self.tree, jnp.asarray([action]), new_board[None],
                 reserve=self.search.simulations)
             self.tree = trees
             self.tree_valid = bool(valid[0])
         else:
             self.tree_valid = False
-        self.board, _ = engine.play_at(self.board, x, y, color)
+        self.board = new_board
         self.move_n += 1
         return self.board
 

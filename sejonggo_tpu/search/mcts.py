@@ -99,15 +99,16 @@ def _collect_leaves(tree: Tree, k: int, c_puct: float):
     return leaf_p, leaf_a, active
 
 
-def _expand_backup(tree: Tree, leaf_p, leaf_a, leaf_boards, active,
-                   policies, values, legal, negamax: bool):
+def _expand_backup(tree: Tree, leaf_p, leaf_a, leaf_stones, leaf_side,
+                   active, policies, values, legal, negamax: bool):
     """Phase 3: allocate nodes for the k leaves, set priors/legality,
     wire child pointers, and back up values along each path."""
     k = leaf_p.shape[0]
     base = tree.n_nodes
     slots = base + jnp.arange(k, dtype=jnp.int32)
 
-    node_board = tree.node_board.at[slots].set(leaf_boards)
+    node_stones = tree.node_stones.at[slots].set(leaf_stones)
+    node_side = tree.node_side.at[slots].set(leaf_side)
     node_P = tree.node_P.at[slots].set(policies)
     node_legal = tree.node_legal.at[slots].set(legal & active[:, None])
     parent = tree.parent.at[slots].set(jnp.where(active, leaf_p, 0))
@@ -117,8 +118,8 @@ def _expand_backup(tree: Tree, leaf_p, leaf_a, leaf_boards, active,
 
     # value sign: reference self_play.py:100-102 — leaf value is flipped
     # into the root player's perspective by comparing side-to-move.
-    root_player = tree.node_board[0][0, 0, 16]
-    leaf_player = leaf_boards[:, 0, 0, 16]
+    root_player = tree.node_side[0]
+    leaf_player = leaf_side
     v = values.reshape(k)
     if negamax:
         # edge value from the perspective of the mover at the edge's parent
@@ -156,11 +157,59 @@ def _expand_backup(tree: Tree, leaf_p, leaf_a, leaf_boards, active,
     _, _, _, _, cn, cw, rn, rw = lax.while_loop(cond, body, st)
 
     return tree._replace(
-        node_board=node_board, node_P=node_P, node_legal=node_legal,
+        node_stones=node_stones, node_side=node_side,
+        node_P=node_P, node_legal=node_legal,
         child_N=cn, child_W=cw, child_idx=child_idx,
         parent=parent, parent_action=parent_action,
         n_nodes=tree.n_nodes + k, root_N=rn, root_W=rw,
     )
+
+
+def leaf_features(trees: Tree, leaf_p, leaf_stones, leaf_side):
+    """(B, k, N, N, 17) int8: reconstruct the reference 17-plane feature
+    stack for each leaf from its ancestor chain of stone grids, falling
+    back to the tree root's stored history planes past the root.
+
+    Exactness: plane pair q of a position holds (the position's OWN
+    side, its opponent) stones q positions ago — the history shift plus
+    player swap re-express every pair in the new mover's colors each
+    step (play.py:226-242,295-299 with SWAP_INDEX play.py:15).  So
+    along the ancestor chain the pair for offset j is simply
+    (stones == s, stones == -s) with s = leaf_side, and past the root
+    (offset j = m + q for root depth m) the root's pair q applies with
+    its planes swapped iff m is odd (root side r = s * (-1)^m).
+    Verified bit-for-bit against engine.step chains in
+    tests/test_mcts.py.
+    """
+    b, k = leaf_p.shape
+    n = leaf_stones.shape[-1]
+    s = leaf_side[:, :, None, None]
+    planes = [leaf_stones == s, leaf_stones == -s]
+
+    idx = leaf_p
+    past = jnp.zeros((b, k), jnp.int32)
+    root_pairs = trees.root_board[:, None]  # (B, 1, N, N, 17)
+    root_pairs = jnp.broadcast_to(root_pairs, (b, k, n, n, 17))
+    for j in range(1, 8):
+        onchain = (past == 0)[:, :, None, None]
+        stones_j = jnp.take_along_axis(
+            trees.node_stones, idx[:, :, None, None], axis=1)
+        q = jnp.clip(past, 0, 7)
+        # root depth m = j - q; root pair planes are in root-side colors,
+        # swapped for the leaf iff m is odd
+        swap = ((j - q) % 2).astype(jnp.int32)
+        own_pi = (2 * q + swap)[:, :, None, None, None]
+        opp_pi = (2 * q + 1 - swap)[:, :, None, None, None]
+        own_r = jnp.take_along_axis(root_pairs, own_pi, axis=4)[..., 0]
+        opp_r = jnp.take_along_axis(root_pairs, opp_pi, axis=4)[..., 0]
+        planes.append(jnp.where(onchain, stones_j == s, own_r == 1))
+        planes.append(jnp.where(onchain, stones_j == -s, opp_r == 1))
+        past = jnp.where((idx == 0) | (past > 0), past + 1, past)
+        idx = jnp.take_along_axis(trees.parent, idx, axis=1)
+
+    side_plane = jnp.broadcast_to(s, (b, k, n, n))
+    feats = jnp.stack(planes, axis=-1).astype(jnp.int8)
+    return jnp.concatenate([feats, side_plane[..., None]], axis=-1)
 
 
 def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
@@ -172,28 +221,36 @@ def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
     leaf_p, leaf_a, active = jax.vmap(
         partial(_collect_leaves, k=k, c_puct=c_puct))(trees)
     b = leaf_p.shape[0]
+    n = trees.node_stones.shape[-1]
 
-    # step all leaves in one batched call (Pallas-capable flood path)
-    parent_boards = jnp.take_along_axis(
-        trees.node_board, leaf_p[:, :, None, None, None], axis=1)
-    shape = parent_boards.shape[2:]
-    flat_boards = engine.step_batch(
-        parent_boards.reshape((b * k,) + shape), leaf_a.reshape(-1))
-    legal = ~engine.illegal_moves_mask_batch(flat_boards)
-    leaf_boards = flat_boards.reshape((b, k) + shape)
-    legal = legal.reshape(b, k, -1)
+    # step all leaves in one batched call on compact stone grids
+    parent_stones = jnp.take_along_axis(
+        trees.node_stones, leaf_p[:, :, None, None], axis=1)
+    parent_side = jnp.take_along_axis(trees.node_side, leaf_p, axis=1)
+    flat_stones = jax.vmap(engine.step_stones)(
+        parent_stones.reshape(b * k, n, n),
+        parent_side.reshape(-1), leaf_a.reshape(-1))
+    leaf_side = (-parent_side).astype(jnp.int8)
+    flat_legal = jax.vmap(engine.illegal_moves_mask_stones)(
+        flat_stones, parent_stones.reshape(b * k, n, n),
+        leaf_side.reshape(-1))
+    leaf_stones = flat_stones.reshape(b, k, n, n)
+    legal = (~flat_legal).reshape(b, k, -1)
 
-    # boards stay int8 through the symmetry gather (4x less HBM traffic
-    # than transforming the float32 features); predict fns cast inputs
+    feats = leaf_features(trees, leaf_p, leaf_stones, leaf_side)
+    flat_feats = feats.reshape(b * k, n, n, 17)
+    # features stay int8 through the symmetry gather (4x less HBM
+    # traffic than transforming float32); predict fns cast inputs
     if use_symmetry:
-        policies, values = random_symmetry_predict(predict_fn, flat_boards,
+        policies, values = random_symmetry_predict(predict_fn, flat_feats,
                                                    rng)
     else:
-        policies, values = predict_fn(flat_boards)
+        policies, values = predict_fn(flat_feats)
     policies = policies.reshape(b, k, -1)
     values = values.reshape(b, k)
     return jax.vmap(partial(_expand_backup, negamax=negamax))(
-        trees, leaf_p, leaf_a, leaf_boards, active, policies, values, legal)
+        trees, leaf_p, leaf_a, leaf_stones, leaf_side, active, policies,
+        values, legal)
 
 
 def run_search(trees: Tree, predict_fn: Callable, rng, *, simulations: int,
@@ -263,10 +320,16 @@ def policy_target_batch(trees: Tree, mode: str = "prior"):
     return counts / total
 
 
-def _advance_root(tree: Tree, action, reserve: int = 0):
+def _advance_root(tree: Tree, action, new_root_board, reserve: int = 0):
     """Re-root the tree at child `action` (reference tree reuse,
     self_play.py:224-238: step into the chosen child and cut the
     parent), compacting surviving nodes to the front of the arrays.
+
+    `new_root_board`: the full 17-plane board after playing `action`
+    on the old root position (the caller has it — it IS the new game
+    board).  Required because compact nodes store only stone grids;
+    the re-rooted tree's feature/history source must be refreshed
+    (see tree.Tree.root_board).
 
     Returns (tree, valid); when the child was never expanded valid is
     False and the caller must build a fresh tree (reference
@@ -307,7 +370,9 @@ def _advance_root(tree: Tree, action, reserve: int = 0):
     pa = jnp.where(live, g(tree.parent_action), -1).at[0].set(-1)
 
     out = Tree(
-        node_board=g(tree.node_board),
+        root_board=new_root_board.astype(jnp.int8),
+        node_stones=g(tree.node_stones),
+        node_side=g(tree.node_side),
         node_P=jnp.where(live[:, None], g(tree.node_P), 0.0),
         node_legal=g(tree.node_legal) & live[:, None],
         child_N=jnp.where(live[:, None], g(tree.child_N), 0),
@@ -322,5 +387,9 @@ def _advance_root(tree: Tree, action, reserve: int = 0):
     return out, valid
 
 
-def advance_root_batch(trees: Tree, actions, reserve: int = 0):
-    return jax.vmap(partial(_advance_root, reserve=reserve))(trees, actions)
+def advance_root_batch(trees: Tree, actions, new_root_boards,
+                       reserve: int = 0):
+    """new_root_boards: (B, N, N, 17) — the game boards after playing
+    `actions` (move_step computes them anyway)."""
+    return jax.vmap(partial(_advance_root, reserve=reserve))(
+        trees, actions, new_root_boards)

@@ -12,13 +12,21 @@ expanded (-1 before).  Node slots are allocated only for expanded nodes
 (the reference's "subtree != {}" nodes); the root is slot 0 and carries
 its own (count, value) in ``root_N``/``root_W``.
 
-Each expanded node stores its full board state, so expanding a child is
-exactly one env step from the parent's stored board — no path replay
-(the reference replays the whole move path per simulation,
-self_play.py:41-66).
+Node state is COMPACT: each node stores only its signed stone grid
+(black-positive int8) and side to move — 81+1 bytes on 9x9 instead of
+the 1377-byte 17-plane board.  The full plane stack exists only at the
+tree root (``root_board``); a leaf's network features are reconstructed
+from its ancestor chain of stone grids, falling back to the root's
+history planes past the root (mcts.leaf_features).  This matters on
+TPU: every expansion scatter and re-rooting gather scales with the
+node payload, and the 17x shrink is a direct HBM-traffic win.  The
+reference replays the whole move path per simulation instead
+(self_play.py:41-66); here one env step from the parent's stored grid
+expands a child.
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -30,10 +38,12 @@ from sejonggo_tpu.goenv import engine
 class Tree(NamedTuple):
     """One MCTS tree (batch via leading axis on every field).
 
-    C = node capacity, A = actions (N*N+1), board planes int8.
+    C = node capacity, A = actions (N*N+1).
     """
 
-    node_board: jnp.ndarray   # (C, N, N, 17) int8 — board at each node
+    root_board: jnp.ndarray   # (N, N, 17) int8 — full planes at the root
+    node_stones: jnp.ndarray  # (C, N, N) int8 — signed stones per node
+    node_side: jnp.ndarray    # (C,) int8 — side to move at the node
     node_P: jnp.ndarray       # (C, A) f32 — priors (raw masked policy)
     node_legal: jnp.ndarray   # (C, A) bool
     child_N: jnp.ndarray      # (C, A) i32 — edge visit counts
@@ -57,7 +67,9 @@ def tree_capacity(simulations: int, batch_size: int) -> int:
 def _empty_tree(capacity: int, size: int) -> Tree:
     a = size * size + 1
     return Tree(
-        node_board=jnp.zeros((capacity, size, size, engine.NUM_PLANES), jnp.int8),
+        root_board=jnp.zeros((size, size, engine.NUM_PLANES), jnp.int8),
+        node_stones=jnp.zeros((capacity, size, size), jnp.int8),
+        node_side=jnp.zeros((capacity,), jnp.int8),
         node_P=jnp.zeros((capacity, a), jnp.float32),
         node_legal=jnp.zeros((capacity, a), bool),
         child_N=jnp.zeros((capacity, a), jnp.int32),
@@ -86,7 +98,9 @@ def _new_tree(policy, board, legal, capacity: int, noise, epsilon: float) -> Tre
     if noise is not None:
         p = (1.0 - epsilon) * p + epsilon * noise
     return tree._replace(
-        node_board=tree.node_board.at[0].set(board),
+        root_board=board.astype(jnp.int8),
+        node_stones=tree.node_stones.at[0].set(engine.signed_stones(board)),
+        node_side=tree.node_side.at[0].set(board[0, 0, 16].astype(jnp.int8)),
         node_P=tree.node_P.at[0].set(p),
         node_legal=tree.node_legal.at[0].set(legal),
     )

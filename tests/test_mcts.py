@@ -26,15 +26,22 @@ from sejonggo_tpu.search.mcts import _collect_leaves
 
 
 def collect_with_boards(tree, k):
+    """Leaf positions as full 17-plane boards, RECONSTRUCTED through
+    mcts.leaf_features — asserting these equal engine.step chains pins
+    the compact-node feature reconstruction bit-for-bit."""
+    from sejonggo_tpu.search.mcts import leaf_features
+
     leaf_p, leaf_a, active = jax.vmap(
         lambda t: _collect_leaves(t, k, 1.0))(tree)
     b = leaf_p.shape[0]
-    pb = jnp.take_along_axis(
-        tree.node_board, leaf_p[:, :, None, None, None], axis=1)
-    shape = pb.shape[2:]
-    boards = engine.step_batch(
-        pb.reshape((b * k,) + shape), leaf_a.reshape(-1)).reshape(
-        (b, k) + shape)
+    n = tree.node_stones.shape[-1]
+    ps = jnp.take_along_axis(
+        tree.node_stones, leaf_p[:, :, None, None], axis=1)
+    pside = jnp.take_along_axis(tree.node_side, leaf_p, axis=1)
+    stones = jax.vmap(engine.step_stones)(
+        ps.reshape(b * k, n, n), pside.reshape(-1), leaf_a.reshape(-1))
+    boards = leaf_features(tree, leaf_p, stones.reshape(b, k, n, n),
+                           (-pside).astype(jnp.int8))
     return leaf_p, leaf_a, boards, active
 
 SIZE = 9
@@ -65,7 +72,10 @@ def build_tree(root_children, board=None, capacity=CAP):
         child_board = engine.step(board, action)
         legal = ~engine.illegal_moves_mask(child_board)
         tree = tree._replace(
-            node_board=tree.node_board.at[0, slot].set(child_board),
+            node_stones=tree.node_stones.at[0, slot].set(
+                engine.signed_stones(child_board)),
+            node_side=tree.node_side.at[0, slot].set(
+                child_board[0, 0, 16].astype(jnp.int8)),
             node_P=tree.node_P.at[0, slot].set(_scatter_policy(sub)),
             node_legal=tree.node_legal.at[0, slot].set(legal),
             parent=tree.parent.at[0, slot].set(0),
@@ -242,13 +252,17 @@ def test_advance_root_reuse():
     old_child_node = int(tree.child_idx[0, 0, action])
     old_grandchildren = np.asarray(tree.child_N[0, old_child_node])
 
-    new_tree, valid = advance_root_batch(tree, jnp.array([action]))
+    expected = engine.step(engine.init_board(SIZE), action)
+    new_tree, valid = advance_root_batch(tree, jnp.array([action]),
+                                         expected[None])
     assert bool(valid[0])
     assert int(new_tree.root_N[0]) == old_child_count
     assert np.array_equal(np.asarray(new_tree.child_N[0, 0]), old_grandchildren)
-    # root board advanced by the action
-    expected = engine.step(engine.init_board(SIZE), action)
-    assert np.array_equal(np.asarray(new_tree.node_board[0, 0]), np.asarray(expected))
+    # root position advanced by the action (compact grid + full planes)
+    assert np.array_equal(np.asarray(new_tree.node_stones[0, 0]),
+                          np.asarray(engine.signed_stones(expected)))
+    assert np.array_equal(np.asarray(new_tree.root_board[0]),
+                          np.asarray(expected))
     # search continues to work on the re-rooted tree
     new_tree = run_search(new_tree, dummy_predict_fn, jax.random.PRNGKey(2),
                           simulations=8, batch_size=4)
@@ -259,7 +273,8 @@ def test_advance_root_unexpanded_is_invalid():
     boards = jnp.stack([engine.init_board(SIZE)])
     policies, _ = dummy_predict_fn(boards)
     tree = new_tree_batch(policies, boards, CAP)
-    _, valid = advance_root_batch(tree, jnp.array([5]))
+    _, valid = advance_root_batch(
+        tree, jnp.array([5]), engine.step(engine.init_board(SIZE), 5)[None])
     assert not bool(valid[0])
 
 
