@@ -142,7 +142,7 @@ class MichiEngine:
         self.search = types.SimpleNamespace(simulations=self.cfg.n_sims)
         self.rng = jax.random.PRNGKey(seed)
         self._genmove_jit = None
-        self._jit_komi = None
+        self._jit_key = None
         # optional pachi-format large patterns (reference conf.py:85-86;
         # inert when files are absent, exactly like the reference)
         self.patterns = PatternStore()
@@ -180,23 +180,33 @@ class MichiEngine:
 
         if self.player != color:
             self.board = engine._swap_sides(self.board)
-        if self._genmove_jit is None or self._jit_komi != self.komi:
+        # jit cache key includes everything the closure captures (cfg via
+        # komi, pattern availability) so a post-hoc change rebuilds
+        # instead of silently reusing a stale closure
+        jit_key = (self.komi, bool(self.patterns))
+        if self._genmove_jit is None or self._jit_key != jit_key:
             cfg = _dc.replace(self.cfg, komi=self.komi)
             use_patterns = bool(self.patterns)
             self._genmove_jit = jax.jit(
-                (lambda b, r, rb: michi_genmove_batch(b, r, cfg, rb))
+                (lambda b, r, la, rb: michi_genmove_batch(
+                    b, r, cfg, root_bonus=rb, last_actions=la))
                 if use_patterns else
-                (lambda b, r: michi_genmove_batch(b, r, cfg)))
-            self._jit_komi = self.komi
+                (lambda b, r, la: michi_genmove_batch(
+                    b, r, cfg, last_actions=la)))
+            self._jit_key = jit_key
+        # the opponent's (or our previous) move drives the root CFG
+        # locality prior, the reference's largest prior weights
+        last = jnp.asarray([self.last_action], jnp.int32)
         if self.patterns:
             from sejonggo_tpu.search.patterns import root_prior_bonus
 
             bonus = root_prior_bonus(self.patterns, self.board,
                                      self.cfg.prior_largepattern)
             acts, wrs = self._genmove_jit(
-                self.board[None], self._split(), bonus[None])
+                self.board[None], self._split(), last, bonus[None])
         else:
-            acts, wrs = self._genmove_jit(self.board[None], self._split())
+            acts, wrs = self._genmove_jit(self.board[None], self._split(),
+                                          last)
         action, wr = int(acts[0]), float(wrs[0])
         if wr < self.cfg.resign_thres:
             return 0, self.size + 1, wr

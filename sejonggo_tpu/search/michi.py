@@ -169,8 +169,16 @@ def new_michi_tree(board, cfg: MichiConfig, last_action=-1,
     )
 
 
-def new_michi_tree_batch(boards, cfg: MichiConfig):
-    return jax.vmap(partial(new_michi_tree, cfg=cfg))(boards)
+def new_michi_tree_batch(boards, cfg: MichiConfig, last_actions=None):
+    """last_actions: (B,) flat index of the move that created each
+    position (drives the CFG-distance locality prior, the reference's
+    largest prior weights — tree_node.py:61-63 via pos.last); -1 = no
+    last move."""
+    if last_actions is None:
+        b = boards.shape[0]
+        last_actions = jnp.full((b,), -1, jnp.int32)
+    return jax.vmap(partial(new_michi_tree, cfg=cfg))(
+        boards, last_action=jnp.asarray(last_actions, jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -354,16 +362,23 @@ def _playout_step(board, amaf, passes, last, last2, rng, cfg: MichiConfig):
     return new_board, amaf, new_passes, act, last
 
 
-def mc_playout_batch(boards, amaf, rng, cfg: MichiConfig, last=None):
+def mc_playout_batch(boards, amaf, rng, cfg: MichiConfig, last=None,
+                     last2=None):
     """Batched heuristic playouts to the end; returns (scores, amaf)
     with scores in {-1,+1} for each board's side to move at entry
-    (mcplayout's return convention, tree_search.py:216-219)."""
+    (mcplayout's return convention, tree_search.py:216-219).
+
+    last/last2: the two moves preceding the playout (reference
+    mcplayout seeds its capture/pat3 locality window from pos.last and
+    pos.last2, tree_search.py:181-199); -1 = none."""
     b, n = boards.shape[0], boards.shape[-3]
     nn = n * n
     to_move = boards[:, 0, 0, 16].astype(jnp.int32)
     if last is None:
         last = jnp.full((b,), -1, jnp.int32)
-    last2 = jnp.full((b,), -1, jnp.int32)
+    if last2 is None:
+        last2 = jnp.full((b,), -1, jnp.int32)
+    last2 = jnp.asarray(last2, jnp.int32)
     passes = jnp.zeros((b,), jnp.int32)
     max_steps = cfg.playout_cap(n)
 
@@ -473,9 +488,15 @@ def michi_search_batch(trees: MichiTree, rng, cfg: MichiConfig,
         r1s = jax.random.split(r1, b)
         trees, leaf_boards, leaf_nodes, path_n, path_a, depth, amaf = (
             jax.vmap(partial(_descend, cfg=cfg))(trees, r1s, active))
+        rows = jnp.arange(b)
         scores, amaf = mc_playout_batch(
             leaf_boards, amaf, r2, cfg,
-            last=path_a[jnp.arange(b), jnp.maximum(depth - 1, 0)])
+            last=path_a[rows, jnp.maximum(depth - 1, 0)],
+            # second-to-last tree move extends the first playout step's
+            # locality window to two moves, as in the reference
+            # (pos.last2); -1 when the descent was a single edge
+            last2=jnp.where(depth >= 2,
+                            path_a[rows, jnp.maximum(depth - 2, 0)], -1))
         trees = jax.vmap(_update)(trees, path_n, path_a, depth, leaf_nodes,
                                   scores, amaf, active)
         _, wr = jax.vmap(best_root_stats)(trees)
@@ -491,15 +512,23 @@ def michi_search_batch(trees: MichiTree, rng, cfg: MichiConfig,
     return trees
 
 
-def michi_genmove_batch(boards, rng, cfg: MichiConfig, root_bonus=None):
+def michi_genmove_batch(boards, rng, cfg: MichiConfig, root_bonus=None,
+                        last_actions=None):
     """(actions, winrates): search each board and pick the most visited
     move; callers may resign below cfg.resign_thres (conf.py:89).
-    root_bonus: optional (B, A) large-pattern prior (patterns.py)."""
+    root_bonus: optional (B, A) large-pattern prior (patterns.py).
+    last_actions: (B,) move that created each root position, feeding the
+    CFG-distance locality prior at the root (reference pos.last)."""
+    if last_actions is None:
+        last_actions = jnp.full((boards.shape[0],), -1, jnp.int32)
+    else:
+        last_actions = jnp.asarray(last_actions, jnp.int32)
     if root_bonus is None:
-        trees = new_michi_tree_batch(boards, cfg)
+        trees = new_michi_tree_batch(boards, cfg, last_actions)
     else:
         trees = jax.vmap(
-            lambda b, rb: new_michi_tree(b, cfg, root_bonus=rb))(
-            boards, jnp.asarray(root_bonus, jnp.float32))
+            lambda b, la, rb: new_michi_tree(b, cfg, last_action=la,
+                                             root_bonus=rb))(
+            boards, last_actions, jnp.asarray(root_bonus, jnp.float32))
     trees = michi_search_batch(trees, rng, cfg)
     return jax.vmap(best_root_stats)(trees)

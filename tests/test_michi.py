@@ -179,3 +179,50 @@ def test_playout_scores_decided_position():
     scores, _ = M.mc_playout_batch(
         jnp.stack([b]), amaf, jax.random.PRNGKey(0), cfg)
     assert float(scores[0]) == 1.0
+
+
+def test_root_cfg_prior_from_last_action():
+    """Plumbing pin: passing last_actions into the batched tree builder
+    applies the CFG-distance locality prior at the ROOT (reference
+    TreeNode.expand via pos.last, tree_node.py:61-63) — previously the
+    root silently searched without the engine's largest prior weights."""
+    cfg = MichiConfig(use_ladders=False)
+    b = engine.init_board(9)
+    last = 4 * 9 + 4  # center
+    boards = jnp.stack([b])
+    t_with = M.new_michi_tree_batch(boards, cfg,
+                                    last_actions=jnp.asarray([last]))
+    t_without = M.new_michi_tree_batch(boards, cfg)
+    pv_w = np.asarray(t_with.edge_pv[0, 0])
+    pv_wo = np.asarray(t_without.edge_pv[0, 0])
+    # direct-distance-1 point gets the d=1 CFG bump
+    nbr = 4 * 9 + 5
+    assert pv_w[nbr] - pv_wo[nbr] == pytest.approx(cfg.prior_cfg[0])
+    # far corner is outside the capped distance window: no bump
+    assert pv_w[0] == pytest.approx(pv_wo[0])
+    # scalar path agrees with the batch path
+    t_scalar = M.new_michi_tree(b, cfg, last_action=last)
+    np.testing.assert_allclose(np.asarray(t_scalar.edge_pv[0]), pv_w)
+
+
+def test_genmove_batch_accepts_last_actions():
+    cfg = MichiConfig(n_sims=8, use_ladders=False,
+                      fastplay5=2.0, fastplay20=2.0)
+    boards = jnp.stack([board_from_ascii(ATARI_ROWS)])
+    acts, wrs = jax.jit(
+        lambda bd, r, la: M.michi_genmove_batch(bd, r, cfg,
+                                                last_actions=la))(
+        boards, jax.random.PRNGKey(1), jnp.asarray([CAPTURE_A - 1]))
+    assert acts.shape == (1,)
+
+
+def test_playout_last2_window():
+    """mc_playout_batch accepts last2; with both locality seeds the
+    capture remains findable (smoke: values stay valid)."""
+    cfg = MichiConfig(use_ladders=False)
+    b = board_from_ascii(ATARI_ROWS)
+    amaf = jnp.zeros((1, 82), jnp.int8)
+    scores, _ = M.mc_playout_batch(
+        jnp.stack([b]), amaf, jax.random.PRNGKey(0), cfg,
+        last=jnp.asarray([CAPTURE_A]), last2=jnp.asarray([3 * 9 + 3]))
+    assert float(scores[0]) in (-1.0, 0.0, 1.0)
