@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import functools
 from functools import partial
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -132,7 +132,8 @@ class ContinuousSelfPlay:
                  komi: float, search: SearchConfig, game_batch: int,
                  stop_exploration: int = 30, selfplay: bool = True,
                  max_moves: Optional[int] = None, rng=None,
-                 threshold_fn: Optional[Callable[[], float]] = None):
+                 threshold_fn: Optional[Callable[[], float]] = None,
+                 mesh=None, mesh_axis: str = "dp"):
         self.predict = predict
         self.variables = variables
         self.size = size
@@ -141,6 +142,20 @@ class ContinuousSelfPlay:
         self.b = game_batch
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.max_moves = max_moves or 2 * size * size
+        self.mesh = mesh
+        self._data_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from sejonggo_tpu.parallel import replicate
+
+            if game_batch % mesh.size:
+                raise ValueError(
+                    f"game_batch={game_batch} not divisible by mesh size "
+                    f"{mesh.size}")
+            self._data_sharding = NamedSharding(mesh, P(mesh_axis))
+            self.variables = replicate(variables, mesh) \
+                if variables is not None else None
         self._step = _make_continuous_step(
             predict, search, size, selfplay, stop_exploration,
             self.max_moves, komi)
@@ -155,7 +170,33 @@ class ContinuousSelfPlay:
                       jnp.zeros((self.b,), bool),
                       jnp.zeros((self.b,), bool),
                       jnp.zeros((self.b,), jnp.int32))
-        self._slot_moves: List[List[Dict]] = [[] for _ in range(self.b)]
+        if mesh is not None:
+            from sejonggo_tpu.parallel import shard_actor_state
+
+            # shard every state leaf over its leading (game) axis; jit
+            # propagates the shardings through search/env/inference so
+            # the whole move step runs batch-parallel across devices
+            self.state = shard_actor_state(self.state, mesh, mesh_axis)
+        # Host-side harvest: a ring buffer over STEPS (a live game spans
+        # at most max_moves steps), written once per device step with
+        # whole-batch array copies.  Per-slot Python work happens only
+        # when a game ends (strided column slices), so the host loop is
+        # O(#ended) per step instead of O(B) — at B=2048 the old
+        # per-slot dict appends dominated the device time.
+        w = self.max_moves + 1
+        a = size * size + 1
+        self._ring = {
+            "boards": np.zeros((w, self.b, size, size, 17), np.int8),
+            "policy_targets": np.zeros((w, self.b, a), np.float32),
+            "values": np.zeros((w, self.b), np.float32),
+            "actions": np.zeros((w, self.b), np.int32),
+            "players": np.zeros((w, self.b), np.int32),
+            "move_valid": np.zeros((w, self.b), bool),
+        }
+        self._ring_w = w
+        self._start = np.zeros((self.b,), np.int64)  # first step of the
+        #                                              slot's current game
+        self._gstep = 0
         # per-game resign thresholds, fixed for a game's lifetime
         # (reference assigns resign per game, self_play.py:310-313)
         self._threshold_fn = threshold_fn or (lambda: float("nan"))
@@ -164,10 +205,40 @@ class ContinuousSelfPlay:
         self.steps = 0
         self.games_finished = 0
         self.moves_recorded = 0
+        self.fresh_trees = 0  # tree_fresh occurrences (reuse-rate metric)
+
+    @property
+    def tree_fresh_rate(self) -> float:
+        """Fraction of recorded moves that rebuilt the tree from scratch
+        (1.0 - reuse rate; the reference reuses trees across moves,
+        self_play.py:224-238)."""
+        return self.fresh_trees / max(self.moves_recorded, 1)
+
+    def _harvest_game(self, g: int, rec) -> Dict:
+        """Extract slot g's finished game from the step ring buffer as
+        stacked arrays (T = recorded moves)."""
+        t = self._gstep
+        idxs = np.arange(self._start[g], t + 1) % self._ring_w
+        sel = idxs[self._ring["move_valid"][idxs, g]]
+        return {
+            "boards": self._ring["boards"][sel, g],
+            "policies": self._ring["policy_targets"][sel, g],
+            "values": self._ring["values"][sel, g],
+            "actions": self._ring["actions"][sel, g],
+            "players": self._ring["players"][sel, g],
+            "winner": int(rec["area_winner"][g]),
+            "resign_winner": int(rec["resign_winner"][g]),
+            "resigned": bool(rec["resigned"][g]),
+            "black_points": float(rec["black_points"][g]),
+            "white_points": float(rec["white_points"][g]),
+            "holdout": bool(np.isnan(self._thresholds[g])),
+        }
 
     def run(self, num_games: int, thresholds_fn=None, on_game=None):
         """Play until `num_games` finish; returns finished-game dicts.
 
+        Each game dict carries stacked per-move arrays (boards,
+        policies, values, actions, players) plus scalar outcome fields.
         thresholds_fn(b) -> (B,) per-step override of the per-game
         thresholds (NaN = off); on_game(game) called per completion.
         """
@@ -177,35 +248,25 @@ class ContinuousSelfPlay:
                 thr = jnp.asarray(thresholds_fn(self.b), jnp.float32)
             else:
                 thr = jnp.asarray(self._thresholds)
+            if self._data_sharding is not None:
+                thr = jax.device_put(thr, self._data_sharding)
             self.rng, sub = jax.random.split(self.rng)
             self.state, record = self._step(self.state, sub, thr,
                                             self.variables)
             rec = {k: np.asarray(v) for k, v in record.items()}
+            w = self._gstep % self._ring_w
+            for k, buf in self._ring.items():
+                buf[w] = rec[k]
+            self.moves_recorded += int(rec["move_valid"].sum())
+            self.fresh_trees += int(rec["tree_fresh"].sum())
             self.steps += 1
-            for g in range(self.b):
-                if rec["move_valid"][g]:
-                    self._slot_moves[g].append({
-                        "board": rec["boards"][g],
-                        "policy": rec["policy_targets"][g],
-                        "value": float(rec["values"][g]),
-                        "action": int(rec["actions"][g]),
-                        "player": int(rec["players"][g]),
-                    })
-                    self.moves_recorded += 1
-                if rec["ended"][g]:
-                    game = {
-                        "moves": self._slot_moves[g],
-                        "winner": int(rec["area_winner"][g]),
-                        "resign_winner": int(rec["resign_winner"][g]),
-                        "resigned": bool(rec["resigned"][g]),
-                        "black_points": float(rec["black_points"][g]),
-                        "white_points": float(rec["white_points"][g]),
-                        "holdout": bool(np.isnan(self._thresholds[g])),
-                    }
-                    self._slot_moves[g] = []
-                    self._thresholds[g] = self._threshold_fn()
-                    self.games_finished += 1
-                    finished.append(game)
-                    if on_game is not None:
-                        on_game(game)
+            for g in np.nonzero(rec["ended"])[0]:
+                game = self._harvest_game(int(g), rec)
+                self._start[g] = self._gstep + 1
+                self._thresholds[g] = self._threshold_fn()
+                self.games_finished += 1
+                finished.append(game)
+                if on_game is not None:
+                    on_game(game)
+            self._gstep += 1
         return finished

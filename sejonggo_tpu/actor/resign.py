@@ -47,17 +47,20 @@ class ResignCalibrator:
         return float("nan")
 
     def observe_game(self, game: dict) -> None:
-        """Update from one finished continuous-actor game dict; only
-        games that ran without a threshold contribute."""
+        """Update from one finished continuous-actor game dict (stacked
+        per-move arrays); only games that ran without a threshold
+        contribute."""
         if not game.get("holdout", True):
             return
         w = int(game["winner"])
-        if w == 0 or not game["moves"]:
+        players = np.asarray(game["players"])
+        if w == 0 or players.size == 0:
             return
-        vals = [m["value"] for m in game["moves"] if m["player"] == w]
-        if not vals:
+        mask = players == w
+        if not mask.any():
             return
-        self.min_values.append(float(min(vals)))
+        vals = np.asarray(game["values"])[mask]
+        self.min_values.append(float(vals.min()))
         idx = int(self.allowed_error * len(self.min_values))
         if idx > 0:
             self.current = float(np.sort(self.min_values)[idx])

@@ -47,20 +47,21 @@ class ReplayBuffer:
         return int(mask.sum())
 
     def add_game(self, game: dict) -> int:
-        """Ingest one continuous-actor game dict ({moves, winner})."""
-        moves = game["moves"]
-        if not moves:
+        """Ingest one continuous-actor game dict (stacked per-move
+        arrays: boards (T,N,N,17), policies (T,A), players (T,) plus the
+        scalar winner; see ContinuousSelfPlay._harvest_game)."""
+        boards = np.asarray(game["boards"])
+        t = boards.shape[0]
+        if t == 0:
             return 0
         w = int(game["winner"])
-        boards = np.stack([m["board"] for m in moves])
-        policies = np.stack([m["policy"] for m in moves])
-        players = np.asarray([m["player"] for m in moves])
-        values = (0.0 if w == 0 else np.where(players == w, 1.0, -1.0)
-                  ) * np.ones(len(moves), np.float32)
-        self._append(boards, policies, values.astype(np.float32))
+        players = np.asarray(game["players"])
+        values = (np.zeros(t, np.float32) if w == 0
+                  else np.where(players == w, 1.0, -1.0).astype(np.float32))
+        self._append(boards, np.asarray(game["policies"]), values)
         self.total_games += 1
-        self.total_moves += len(moves)
-        return len(moves)
+        self.total_moves += t
+        return t
 
     def _append(self, boards, policies, values):
         n = boards.shape[0]

@@ -21,19 +21,22 @@ def test_continuous_produces_complete_games():
     assert len(games) >= 10
     assert sp.games_finished >= 10
     for game in games:
-        moves = game["moves"]
-        assert 0 < len(moves) <= 20
+        t = game["boards"].shape[0]
+        assert 0 < t <= 20
         # replay the recorded actions: boards consistent
         board = engine.init_board(SIZE)
-        for md in moves:
-            assert np.array_equal(np.asarray(board), md["board"])
-            board = engine.step(board, md["action"])
+        for i in range(t):
+            assert np.array_equal(np.asarray(board), game["boards"][i])
+            board = engine.step(board, int(game["actions"][i]))
         # players alternate from black
-        for i, md in enumerate(moves):
-            assert md["player"] == (1 if i % 2 == 0 else -1)
+        np.testing.assert_array_equal(
+            game["players"], [1 if i % 2 == 0 else -1 for i in range(t)])
         assert game["winner"] in (-1, 0, 1)
+        assert game["values"].shape == (t,)
+        assert game["policies"].shape == (t, SIZE * SIZE + 1)
     # slots kept busy: total recorded moves across games ~ steps * batch
     assert sp.moves_recorded >= sp.steps  # at least one live slot per step
+    assert 0.0 <= sp.tree_fresh_rate <= 1.0
 
 
 def test_continuous_resignation_and_thresholds():
@@ -49,7 +52,7 @@ def test_continuous_resignation_and_thresholds():
     # with value always below threshold, every game resigns immediately
     for game in games:
         assert game["resigned"]
-        assert len(game["moves"]) == 0
+        assert game["boards"].shape[0] == 0
         assert game["resign_winner"] == -1  # black to move resigned
 
 
@@ -60,4 +63,4 @@ def test_continuous_with_heuristic_engine():
         stop_exploration=4, max_moves=16, rng=jax.random.PRNGKey(2))
     games = sp.run(num_games=3)
     assert len(games) >= 3
-    assert all(len(g["moves"]) > 0 for g in games)
+    assert all(g["boards"].shape[0] > 0 for g in games)
