@@ -188,7 +188,7 @@ def _make_move_step(predict1: Callable, predict2: Optional[Callable],
         is_pass = actions == pass_action
         ended_bothpass = move_valid & skipped_last & is_pass
 
-        new_boards = jax.vmap(engine.step)(boards, actions)
+        new_boards = engine.step_batch(boards, actions)
         new_boards = jnp.where(
             move_valid.reshape(-1, 1, 1, 1), new_boards, boards)
 
@@ -242,6 +242,8 @@ def play_games(
     resign_thresholds=None,      # (B,) float, NaN = resignation off
     model1_isblack=None,         # (B,) bool; default: model1 is black
     max_moves: Optional[int] = None,
+    mesh=None,                   # shard the game batch over this mesh
+    mesh_axis: str = "dp",
 ) -> GameBatch:
     """Play B games to completion; returns stacked per-move records.
 
@@ -289,6 +291,21 @@ def play_games(
         jnp.zeros((b,), bool),           # skipped_last
         model1_isblack,
     )
+    if mesh is not None:
+        from sejonggo_tpu.parallel import replicate, shard_actor_state
+
+        if b % mesh.size:
+            raise ValueError(
+                f"game_batch={b} not divisible by mesh size {mesh.size}")
+        state = shard_actor_state(state, mesh, mesh_axis)
+        resign_thresholds = jax.device_put(
+            resign_thresholds,
+            jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec(mesh_axis)))
+        if variables1 is not None:
+            variables1 = replicate(variables1, mesh)
+        if variables2 is not None:
+            variables2 = replicate(variables2, mesh)
 
     records = []
     flags_resign = np.zeros((b,), bool)
@@ -296,8 +313,15 @@ def play_games(
     prev_done = np.zeros((b,), bool)
     resign_player = np.zeros((b,), np.int32)
 
+    data_sharding = None
+    if mesh is not None:
+        data_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(mesh_axis))
+
     for move_n in range(max_moves):
         greedy = jnp.full((b,), move_n >= stop_exploration)
+        if data_sharding is not None:
+            greedy = jax.device_put(greedy, data_sharding)
         rng, sub = jax.random.split(rng)
         state, record, flags = move_step(
             state, sub, greedy, resign_thresholds, variables1, variables2)

@@ -391,6 +391,53 @@ def _flood_b(seed, allowed):
     return _flood(seed, allowed)
 
 
+def step_stones_batch(stones, sides, actions):
+    """Batched ``step_stones``: (B, N, N) signed grids, (B,) sides, (B,)
+    actions.  The search round's leaf stepping — the dominant flood-fill
+    load (B*k leaves per round) — runs through ``_flood_b`` so the
+    Pallas TPU kernel (ops/flood.py) applies where it wins."""
+    n = stones.shape[-1]
+    actions = jnp.asarray(actions, jnp.int32)
+    side = jnp.asarray(sides, jnp.int8)[:, None, None]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    onehot = (row * n + col)[None] == actions[:, None, None]
+
+    own = (stones == side) | onehot
+    opp = stones == -side
+
+    empty = ~(own | opp)
+    dead_opp = opp & ~_flood_b(opp & _dilate(empty), opp)
+    removed_opp = _flood_b(dead_opp & _dilate(onehot), dead_opp)
+    opp = opp & ~removed_opp
+
+    empty = ~(own | opp)
+    dead_own = own & ~_flood_b(own & _dilate(empty), own)
+    removed_own = _flood_b(dead_own & (_dilate(onehot) | onehot), dead_own)
+    own = own & ~removed_own
+
+    return jnp.where(own, side, jnp.where(opp, -side, 0)).astype(jnp.int8)
+
+
+def illegal_moves_mask_stones_batch(stones, prev_stones, sides):
+    """Batched ``illegal_moves_mask_stones``: (B, N, N) grids + (B,)
+    sides -> (B, N*N+1) bool."""
+    n = stones.shape[-1]
+    side = jnp.asarray(sides, jnp.int8)[:, None, None]
+    own = stones == side
+    opp = stones == -side
+    ko_pt = (prev_stones == side) & ~own
+    empty = ~(own | opp)
+    ko = ko_pt & (jnp.sum(ko_pt, axis=(-2, -1), keepdims=True) == 1)
+    opp_mn, opp_mx = _group_minmax_lib(opp, empty)
+    opp_capturable = opp & (opp_mn >= opp_mx)
+    breath = _dilate(empty) | _dilate(opp_capturable)
+    legal = empty & ~ko & breath
+    illegal = ~legal.reshape(stones.shape[0], n * n)
+    return jnp.concatenate(
+        [illegal, jnp.zeros((stones.shape[0], 1), bool)], axis=-1)
+
+
 def step_batch(boards, actions):
     """Batched `step`: boards (B, N, N, 17), actions (B,) int32."""
     n = boards.shape[-3]

@@ -264,3 +264,49 @@ def test_score_empty_board_white_wins_by_komi():
     assert int(w) == -1
     assert float(bp) == 0.0
     assert float(wp) == KOMI
+
+
+# --- batched stone-grid ops == vmapped scalar ops --------------------------
+
+
+def test_batched_stone_ops_match_vmap():
+    """step_stones_batch / illegal_moves_mask_stones_batch (the search's
+    Pallas-pluggable hot path) agree with vmap of the single-board
+    fns on randomly played positions."""
+    import jax
+
+    from sejonggo_tpu.goenv import engine
+
+    rng = np.random.RandomState(0)
+    size = 9
+    b = 16
+    boards = []
+    for g in range(b):
+        board = engine.init_board(size)
+        for _ in range(rng.randint(3, 40)):
+            legal = ~np.asarray(engine.illegal_moves_mask(board))
+            acts = np.nonzero(legal[:-1])[0]
+            if len(acts) == 0:
+                break
+            board = engine.step(board, int(rng.choice(acts)))
+        boards.append(board)
+    boards = jnp.stack(boards)
+
+    stones = jax.vmap(engine.signed_stones)(boards)
+    sides = boards[:, 0, 0, 16].astype(jnp.int8)
+    actions = []
+    for g in range(b):
+        legal = ~np.asarray(engine.illegal_moves_mask(boards[g]))
+        actions.append(int(rng.choice(np.nonzero(legal)[0])))
+    actions = jnp.asarray(actions, jnp.int32)
+
+    batched = engine.step_stones_batch(stones, sides, actions)
+    single = jax.vmap(engine.step_stones)(stones, sides, actions)
+    np.testing.assert_array_equal(np.asarray(batched), np.asarray(single))
+
+    prev = stones
+    nxt_sides = (-sides).astype(jnp.int8)
+    ill_b = engine.illegal_moves_mask_stones_batch(batched, prev, nxt_sides)
+    ill_s = jax.vmap(engine.illegal_moves_mask_stones)(single, prev,
+                                                       nxt_sides)
+    np.testing.assert_array_equal(np.asarray(ill_b), np.asarray(ill_s))
