@@ -37,6 +37,9 @@ def evaluate_models(
     game_batch: int = 0,
     stop_exploration: int = 0,
     max_moves=None,
+    mesh=None,
+    mesh_axis: str = "dp",
+    collect_games: bool = False,
 ) -> Dict:
     """Play eval_cfg.num_games latest-vs-best; returns winrate + stats.
 
@@ -50,8 +53,11 @@ def evaluate_models(
     draws = 0
     played = 0
     num_moves = []
+    collected = []
     while played < n:
         b = min(game_batch, n - played)
+        if mesh is not None and b % mesh.size:
+            b += mesh.size - b % mesh.size  # keep the batch shardable
         rng, r_color, r_games = jax.random.split(rng, 3)
         latest_isblack = jax.random.bernoulli(r_color, 0.5, (b,))
         games = play_games(
@@ -62,6 +68,7 @@ def evaluate_models(
             stop_exploration=stop_exploration,
             model1_isblack=latest_isblack,
             max_moves=max_moves,
+            mesh=mesh, mesh_axis=mesh_axis,
         )
         lb = np.asarray(latest_isblack)
         latest_won = (games.winners == 1) == lb
@@ -70,8 +77,10 @@ def evaluate_models(
         draws += int((games.winners == 0).sum())
         played += b
         num_moves.extend(games.num_moves.tolist())
+        if collect_games:
+            collected.append(games)
     winrate = wins / played
-    return {
+    out = {
         "winrate": winrate,
         "wins": wins,
         "draws": draws,
@@ -79,3 +88,8 @@ def evaluate_models(
         "promote": winrate > eval_cfg.margin,   # evaluator.py:43
         "mean_moves": float(np.mean(num_moves)),
     }
+    if collect_games:
+        # evaluation games double as training data, like the reference's
+        # NoModelEvaluateWorker (evaluate_worker.py:151)
+        out["game_batches"] = collected
+    return out

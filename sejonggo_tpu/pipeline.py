@@ -11,6 +11,7 @@ the CheckpointStore carrying the best/latest identities.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import logging
 import os
 import time
@@ -34,26 +35,96 @@ from sejonggo_tpu.nets import AZNet, init_variables, make_predict_fn
 logger = logging.getLogger("sejonggo_tpu.pipeline")
 
 
+def _auto_dp(n_devices: int, game_batch: int, train_batch: int) -> int:
+    """Largest device count <= n_devices that divides both the self-play
+    game batch and the train batch (so both phases shard evenly)."""
+    for d in range(min(n_devices, game_batch, train_batch), 0, -1):
+        if game_batch % d == 0 and train_batch % d == 0:
+            return d
+    return 1
+
+
 class Pipeline:
-    def __init__(self, cfg: Config, workdir: str = ".", seed: int = 0):
+    """Actor-learner loop over a device mesh.
+
+    Parallel layout (replaces the reference's 3 self-play servers + 1
+    training server over BaseManager RPC + scp, conf.py:57-82,
+    master_coordinator.py:120-157):
+
+    - `actor_mesh`: this process's devices; the self-play / evaluation
+      game batch is sharded over it ('dp').  Games are embarrassingly
+      parallel, so on a multi-host pod each host runs its own slice of
+      games on its local chips and harvests into its local replay — the
+      reference's independent self-play servers with the process zoo
+      dissolved.
+    - `train_mesh`: ALL devices (every host); the train batch is sharded
+      over 'dp', parameters are replicated, XLA all-reduces gradients
+      over ICI/DCN (the reference's keras multi_gpu_model, train.py:96-99,
+      plus its cross-host scp shipping, both as one sharded jit).
+
+    Single host: the two meshes are the same devices and everything runs
+    in one process, matching round-1 behavior but now actually sharded.
+    """
+
+    def __init__(self, cfg: Config, workdir: str = ".", seed: int = 0,
+                 mesh=None):
+        from sejonggo_tpu.parallel import make_mesh
+        from sejonggo_tpu.utils.metrics import MetricsLogger
+
         self.cfg = cfg
         self.workdir = workdir
         self.store = CheckpointStore(os.path.join(workdir, cfg.model_dir))
         self.net = AZNet.from_config(cfg.go.size, cfg.net)
         self.predict = make_predict_fn(self.net)
         self.tx = make_optimizer(cfg.train.lr, cfg.train.momentum, cfg.net.l2)
-        self.train_step = make_train_step(self.net, self.tx, cfg.train.loss_mode)
+        axis = cfg.dist.mesh_axis_name
+        if mesh is not None:
+            self.train_mesh = self.actor_mesh = mesh
+        else:
+            dp = cfg.dist.dp or _auto_dp(len(jax.devices()),
+                                         cfg.selfplay.game_batch,
+                                         cfg.train.batch_size)
+            local_dp = min(dp, len(jax.local_devices()))
+            self.train_mesh = make_mesh(dp, axis)
+            self.actor_mesh = make_mesh(local_dp, axis, local=True)
+        self.mesh_axis = axis
+        self.train_step = make_train_step(
+            self.net, self.tx, cfg.train.loss_mode, mesh=self.train_mesh,
+            dp_axis=axis)
         self.rng = jax.random.PRNGKey(seed)
         self.replay = ReplayBuffer(cfg.train.replay_window, cfg.go.size,
                                    seed=seed)
         self.calibrator = ResignCalibrator(
             cfg.selfplay.resignation_percent,
             cfg.selfplay.resignation_allowed_error, seed=seed)
-        self.metrics_log: list = []
+        self.metrics = MetricsLogger(os.path.join(workdir, "metrics.jsonl"))
+        self.metrics_log = self.metrics.events  # backwards-compat alias
+        # reference NoModelEvaluateWorker reuses eval games as training
+        # data (evaluate_worker.py:151)
+        self.eval_games_to_replay = True
+        # reference always archives self-play games (sgfsave.py:49-79);
+        # here opt-in: the replay buffer is the primary store
+        self.archive_selfplay = False
 
     def _split(self):
         self.rng, sub = jax.random.split(self.rng)
         return sub
+
+    def _put_train_batch(self, arr):
+        """Global dp-sharded train batch from this host's local sample
+        (multi-host: each process contributes its local replay rows)."""
+        from sejonggo_tpu.parallel import host_local_batch
+
+        return host_local_batch(
+            jnp.asarray(arr), self.train_mesh, self.mesh_axis)
+
+    @property
+    def _local_train_batch_size(self) -> int:
+        n = jax.process_count()
+        bs = self.cfg.train.batch_size
+        if bs % (n or 1):
+            raise ValueError(f"train batch {bs} not divisible by {n} hosts")
+        return bs // n
 
     # --- model lifecycle (reference model.py:98-157) --------------------
 
@@ -63,8 +134,9 @@ class Pipeline:
         if self.store.latest_name() is None:
             variables = init_variables(self.net, self._split())
             state = init_train_state(self.net, variables, self.tx)
-            self.store.save_state("model_1", state)
-            self.store.set_best("model_1")
+            self._save_state_global("model_1", state)
+            if jax.process_index() == 0:
+                self.store.set_best("model_1")
             logger.info("created initial model_1 (best)")
 
     def _template_state(self):
@@ -88,34 +160,69 @@ class Pipeline:
         state = self.load(best)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         n = num_games or cfg.selfplay.num_games
+        # multi-host: each host plays its deterministic share of the
+        # games on its local chips (parallel/dist.local_game_slice)
+        if jax.process_count() > 1:
+            from sejonggo_tpu.parallel import local_game_slice
+
+            n = len(local_game_slice(n))
         t0 = time.time()
         actor = ContinuousSelfPlay(
             self.predict, variables, size=cfg.go.size, komi=cfg.go.komi,
             search=cfg.search, game_batch=cfg.selfplay.game_batch,
             stop_exploration=cfg.selfplay.stop_exploration,
-            rng=self._split(),
-            threshold_fn=self.calibrator.threshold_for_new_game)
+            rng=jax.random.fold_in(self._split(), jax.process_index()),
+            threshold_fn=self.calibrator.threshold_for_new_game,
+            mesh=self.actor_mesh, mesh_axis=self.mesh_axis)
 
         moves = 0
+        archived = 0
 
         def on_game(game):
-            nonlocal moves
+            nonlocal moves, archived
             self.calibrator.observe_game(game)
             moves += self.replay.add_game(game)
+            if self.archive_selfplay:
+                self._archive_game(game, best, archived)
+                archived += 1
 
         actor.run(n, on_game=on_game)
         dt = time.time() - t0
         sims = moves * cfg.search.simulations
         stats = {
-            "phase": "selfplay", "model": best, "games": actor.games_finished,
+            "model": best, "games": actor.games_finished,
             "moves": moves, "seconds": dt,
             "moves_per_s": moves / max(dt, 1e-9),
+            "env_steps_per_s": sims / max(dt, 1e-9),
             "sims_per_s": sims / max(dt, 1e-9),
+            "tree_fresh_rate": actor.tree_fresh_rate,
             "resign_threshold": self.calibrator.current,
         }
         logger.info("selfplay: %s", stats)
-        self.metrics_log.append(stats)
+        stats = dict(self.metrics.log("selfplay", phase="selfplay", **stats))
         return stats
+
+    def _archive_game(self, game: dict, model_name: str, game_n: int) -> None:
+        """Reference-compatible archival of one finished game: SGF with
+        per-move value comments (sgfsave.py:130-167 layout)."""
+        from sejonggo_tpu.io.sgf import divmod_xy, game_to_sgf
+
+        size = self.cfg.go.size
+        moves = [(int(p), *divmod_xy(int(a), size))
+                 for p, a in zip(game["players"], game["actions"])]
+        w = int(game["resign_winner"])
+        if w == 0:
+            result = "0"
+        elif game["resigned"]:
+            result = ("B" if w == 1 else "W") + "+R"
+        else:
+            margin = abs(game["black_points"] - game["white_points"])
+            result = ("B" if w == 1 else "W") + f"+{margin}"
+        d = os.path.join(self.workdir, self.cfg.selfplay_dir, model_name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"game_{game_n:05d}.sgf"), "w") as f:
+            f.write(game_to_sgf(size, self.cfg.go.komi, moves, result,
+                                values=list(map(float, game["values"]))))
 
     def train_phase(self) -> dict:
         """Train the latest model on the replay window and save
@@ -126,23 +233,37 @@ class Pipeline:
         steps = cfg.train.epochs_per_save * cfg.train.iters_per_epoch
         t0 = time.time()
         last_metrics = {}
+        local_bs = self._local_train_batch_size
         for _ in range(steps):
-            boards, policies, values = self.replay.sample(cfg.train.batch_size)
+            boards, policies, values = self.replay.sample(local_bs)
             state, metrics = self.train_step(
-                state, jnp.asarray(boards), jnp.asarray(policies),
-                jnp.asarray(values))
+                state, self._put_train_batch(boards),
+                self._put_train_batch(policies),
+                self._put_train_batch(values))
             last_metrics = metrics
         name = self.store.next_name()
-        self.store.save_state(name, state)
+        self._save_state_global(name, state)
         dt = time.time() - t0
         stats = {
-            "phase": "train", "from": latest, "to": name, "steps": steps,
+            "from": latest, "to": name, "steps": steps,
             "seconds": dt, "steps_per_s": steps / max(dt, 1e-9),
+            "samples_per_s": steps * cfg.train.batch_size / max(dt, 1e-9),
             **{k: float(v) for k, v in last_metrics.items()},
         }
         logger.info("train: %s", stats)
-        self.metrics_log.append(stats)
+        stats = dict(self.metrics.log("train", phase="train", **stats))
         return stats
+
+    def _save_state_global(self, name: str, state) -> None:
+        """Checkpoint once per pod: process 0 writes (shared-FS
+        assumption, replacing the reference's scp best-model shipping,
+        scpy.py:47-55), everyone else waits at a barrier."""
+        if jax.process_index() == 0:
+            self.store.save_state(name, state)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_{name}")
 
     def kgs_pretrain_phase(self, data_dir: str, steps: int,
                            backup_every: int = 0) -> dict:
@@ -157,35 +278,42 @@ class Pipeline:
         latest = self.store.latest_name()
         state = self.load(latest)
         stream = kgs_sample_stream(
-            data_dir, cfg.go.size, batch_size=cfg.train.batch_size,
-            rng=np.random.RandomState(0), loop=True)
+            data_dir, cfg.go.size,
+            batch_size=self._local_train_batch_size,
+            rng=np.random.RandomState(jax.process_index()), loop=True)
         t0 = time.time()
         last_metrics = {}
         done_steps = 0
         for boards, policies, values in stream:
             state, metrics = self.train_step(
-                state, jnp.asarray(boards), jnp.asarray(policies),
-                jnp.asarray(values))
+                state, self._put_train_batch(boards),
+                self._put_train_batch(policies),
+                self._put_train_batch(values))
             last_metrics = metrics
             done_steps += 1
             if backup_every and done_steps % backup_every == 0:
-                self.store.save_state("backup", state)
+                self._save_state_global("backup", state)
             if done_steps >= steps:
                 break
         name = self.store.next_name()
-        self.store.save_state(name, state)
+        self._save_state_global(name, state)
         dt = time.time() - t0
         stats = {
-            "phase": "kgs_pretrain", "from": latest, "to": name,
+            "from": latest, "to": name,
             "steps": done_steps, "seconds": dt,
             **{k: float(v) for k, v in last_metrics.items()},
         }
         logger.info("kgs_pretrain: %s", stats)
-        self.metrics_log.append(stats)
+        stats = dict(self.metrics.log("kgs_pretrain", phase="kgs_pretrain",
+                                      **stats))
         return stats
 
     def evaluate_phase(self) -> dict:
-        """Latest vs best gating (reference evaluator.py:23-47)."""
+        """Latest vs best gating (reference evaluator.py:23-47).
+
+        Multi-host: each host plays its share of the match on its local
+        chips; win/game counts are all-gathered so every process takes
+        the same promotion decision."""
         cfg = self.cfg
         latest = self.store.latest_name()
         best = self.store.best_name()
@@ -193,31 +321,66 @@ class Pipeline:
             return {"phase": "evaluate", "skipped": True}
         ls = self.load(latest)
         bs = self.load(best)
+        n_games = cfg.eval.num_games
+        if jax.process_count() > 1:
+            from sejonggo_tpu.parallel import local_game_slice
+
+            n_games = len(local_game_slice(n_games))
         res = evaluate_models(
             self.predict, self.predict,
             size=cfg.go.size, komi=cfg.go.komi, search=cfg.search,
-            eval_cfg=cfg.eval, rng=self._split(),
+            eval_cfg=dataclasses.replace(cfg.eval, num_games=n_games),
+            rng=jax.random.fold_in(self._split(), jax.process_index()),
             variables_latest={"params": ls.params, "batch_stats": ls.batch_stats},
             variables_best={"params": bs.params, "batch_stats": bs.batch_stats},
-            game_batch=min(cfg.eval.num_games, cfg.selfplay.game_batch),
+            game_batch=min(n_games, cfg.selfplay.game_batch),
+            mesh=self.actor_mesh, mesh_axis=self.mesh_axis,
+            collect_games=self.eval_games_to_replay,
         )
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            totals = multihost_utils.process_allgather(
+                np.asarray([res["wins"], res["games"], res["draws"]]))
+            wins, played, draws = totals.sum(0).tolist()
+            res.update(wins=int(wins), games=int(played), draws=int(draws),
+                       winrate=wins / played,
+                       promote=wins / played > cfg.eval.margin)
+        eval_moves = 0
+        for gb in res.pop("game_batches", []):
+            # reference NoModelEvaluateWorker saves evaluation games as
+            # training data (evaluate_worker.py:151)
+            eval_moves += self.replay.add_game_batch(gb)
+        res["eval_moves_to_replay"] = eval_moves
         if res["promote"]:
-            self.store.set_best(latest)  # evaluator.py:43-46
+            if jax.process_index() == 0:
+                self.store.set_best(latest)  # evaluator.py:43-46
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(f"promote_{latest}")
             logger.info("promoted %s to best (winrate %.3f)", latest,
                         res["winrate"])
-        stats = {"phase": "evaluate", "latest": latest, "best": best, **res}
-        self.metrics_log.append(stats)
+        stats = dict(self.metrics.log("evaluate", phase="evaluate",
+                                      latest=latest, best=best, **res))
         return stats
 
     # --- run-state checkpoint/resume (beyond the reference, which only
     # checkpoints model files — SURVEY.md §5) --------------------------
+
+    @property
+    def _run_state_suffix(self) -> str:
+        # per-host replay windows on multi-host pods (shared workdir)
+        i = jax.process_index()
+        return f"_p{i}" if jax.process_count() > 1 else ""
 
     def save_run_state(self) -> None:
         """Persist replay window + resign calibration + RNG so a crashed
         or preempted run resumes exactly."""
         import json
 
-        self.replay.save(os.path.join(self.workdir, "replay.npz"))
+        self.replay.save(os.path.join(
+            self.workdir, f"replay{self._run_state_suffix}.npz"))
         meta = {
             "rng": np.asarray(jax.random.key_data(self.rng)).tolist(),
             "calibrator": {
@@ -225,14 +388,17 @@ class Pipeline:
                 "current": self.calibrator.current,
             },
         }
-        with open(os.path.join(self.workdir, "run_state.json"), "w") as f:
+        with open(os.path.join(
+                self.workdir,
+                f"run_state{self._run_state_suffix}.json"), "w") as f:
             json.dump(meta, f)
 
     def load_run_state(self) -> bool:
         import json
 
-        replay_path = os.path.join(self.workdir, "replay.npz")
-        meta_path = os.path.join(self.workdir, "run_state.json")
+        sfx = self._run_state_suffix
+        replay_path = os.path.join(self.workdir, f"replay{sfx}.npz")
+        meta_path = os.path.join(self.workdir, f"run_state{sfx}.json")
         if not (os.path.exists(replay_path) and os.path.exists(meta_path)):
             return False
         self.replay = ReplayBuffer.load(
@@ -266,13 +432,30 @@ def main():
                         help="self-play games per generation (0 = preset)")
     parser.add_argument("--workdir", default="runs/pipeline")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--archive-selfplay", action="store_true",
+                        help="also write self-play games as SGF "
+                        "(reference sgfsave.py behavior)")
+    # multi-host pod role (replaces the reference's master/slave +
+    # main_selfplay/main_training deployment roles): run the SAME
+    # program on every host with its coordinator/process flags; jax
+    # collectives do the rest.
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 (multi-host)")
+    parser.add_argument("--num-hosts", type=int, default=0)
+    parser.add_argument("--host-id", type=int, default=None)
     args = parser.parse_args()
 
-    logging.basicConfig(level=logging.INFO,
-                        format="%(asctime)s %(name)s %(message)s")
+    from sejonggo_tpu.parallel import init_distributed
+    from sejonggo_tpu.utils.metrics import setup_logging
+
+    if args.num_hosts > 1 or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        init_distributed(args.coordinator, args.num_hosts or None,
+                         args.host_id)
     cfg = small_9x9() if args.preset == "tiny" else full_19x19()
     os.makedirs(args.workdir, exist_ok=True)
+    setup_logging(os.path.join(args.workdir, cfg.log_dir))
     pipe = Pipeline(cfg, args.workdir, seed=args.seed)
+    pipe.archive_selfplay = args.archive_selfplay
     results = pipe.run(args.generations, args.games)
     for r in results:
         print(r)

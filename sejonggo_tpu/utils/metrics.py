@@ -56,6 +56,39 @@ class MetricsLogger:
         return None
 
 
+def setup_logging(log_dir: Optional[str] = None, level: int = 20,
+                  max_bytes: int = 10 * 1024 * 1024,
+                  backup_count: int = 5) -> None:
+    """Rotating-file logging (reference app_log.py:6-24 + logconfig.json:
+    rotating info/debug/errors files plus console).  With log_dir=None
+    only the console handler is installed."""
+    import logging
+    from logging.handlers import RotatingFileHandler
+
+    root = logging.getLogger()
+    # keep root at `level` (a global DEBUG root makes jax's internal
+    # loggers flood the files); the debug.log handler still captures
+    # package debug when callers lower individual logger levels
+    root.setLevel(level)
+    fmt = logging.Formatter(
+        "%(asctime)s %(levelname)s %(name)s %(message)s")
+    console = logging.StreamHandler()
+    console.setLevel(level)
+    console.setFormatter(fmt)
+    root.addHandler(console)
+    if not log_dir:
+        return
+    os.makedirs(log_dir, exist_ok=True)
+    for fname, lvl in (("info.log", logging.INFO),
+                       ("debug.log", logging.DEBUG),
+                       ("errors.log", logging.ERROR)):
+        h = RotatingFileHandler(os.path.join(log_dir, fname),
+                                maxBytes=max_bytes, backupCount=backup_count)
+        h.setLevel(lvl)
+        h.setFormatter(fmt)
+        root.addHandler(h)
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: str, enabled: bool = True):
     """jax profiler trace around a block (view with TensorBoard/XProf).
