@@ -7,50 +7,60 @@ steps.  Baseline: the reference publishes no numbers (BASELINE.md), so
 vs_baseline is measured against the self-defined 100k env-steps/s/chip
 north star from BASELINE.json.
 
+Extras (BASELINE.md "MCTS sims/s per chip (9x9 and 19x19) tracked"):
+- sims_per_s_9x9: identical to env-steps/s by construction (1 sim = 1
+  leaf expansion = 1 env step) — reported explicitly for the promise;
+- moves_per_s_9x9_e2e: END-TO-END continuous-actor throughput incl.
+  host harvest + replay ingestion (the pipeline's real selfplay rate);
+- tree_fresh_rate_9x9: fraction of moves that rebuilt the search tree
+  (reuse telemetry, reference self_play.py:224-238);
+- env_steps_per_s_19x19: the reference operating point — 19x19 board,
+  20 res-blocks x 256 filters, 1600 sims/move, 100-leaf NN batches
+  (reference conf.py:23,29,33,36).
+
 Prints ONE JSON line to stdout.
 """
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 
-def main():
+def _timed_move_steps(move_step, state, variables, rng, n_moves, repeats=3):
+    """Best-of-N timed windows of n_moves move steps; returns (dt, state).
+    Syncs through a device->host fetch that depends on the final search
+    state so the whole window's work is inside the timing."""
+    import jax
+    import numpy as np
+
+    best_dt = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_moves):
+            rng, sub = jax.random.split(rng)
+            state = move_step(state, sub, variables)
+        sync = np.asarray(state[1].child_N[0]).sum()
+        best_dt = min(best_dt, time.perf_counter() - t0)
+        assert sync >= 0
+    return best_dt, state, rng
+
+
+def _bench_search(size, net_cfg, search, game_batch, n_moves, repeats=3):
+    """Raw jitted move-step throughput at a given operating point.
+    Returns env-steps/s (game_batch * simulations * n_moves / window)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from sejonggo_tpu.config import NetConfig, SearchConfig
     from sejonggo_tpu.actor.selfplay import _make_move_step
+    from sejonggo_tpu.goenv import engine
     from sejonggo_tpu.nets import AZNet, init_variables, make_predict_fn
     from sejonggo_tpu.search import new_tree_batch
 
-    # fused Pallas flood-fill for the env's capture/legality fixpoints
-    # (ops/flood.py; neutral-to-slightly-positive vs the XLA fixpoint
-    # under honest execution-verified timing)
-    if jax.default_backend() != "cpu":
-        from sejonggo_tpu.ops import enable_pallas_flood
-
-        enable_pallas_flood(True)
-
-    size = 9
-    # B=2048 is the single-chip v5e sweet spot (B=4096 exceeds the
-    # compiler's memory budget for this program).  max_nodes=82 keeps a
-    # full decision's expansions + a small reuse window; the default
-    # capacity (2*sims) doubles tree-array HBM traffic for rarely-used
-    # reuse budget (measured 115k -> 148k env-steps/s from this alone)
-    game_batch = 2048
-    search = SearchConfig(simulations=64, batch_size=16, use_symmetry=True,
-                          max_nodes=82)
-    net = AZNet.from_config(
-        size, NetConfig(blocks=4, filters=64, value_hidden=64,
-                        compute_dtype="bfloat16"))
+    net = AZNet.from_config(size, net_cfg)
     variables = init_variables(net, jax.random.PRNGKey(0))
     predict = make_predict_fn(net)
-
     move_step = _make_move_step(predict, None, search, size, True)
-
-    from sejonggo_tpu.goenv import engine
 
     b = game_batch
     boards = jnp.stack([engine.init_board(size)] * b)
@@ -63,7 +73,10 @@ def main():
     thresholds = jnp.full((b,), jnp.nan, jnp.float32)
     rng = jax.random.PRNGKey(0)
 
-    import numpy as np
+    def step(state, sub, variables):
+        state, record, _ = move_step(state, sub, greedy, thresholds,
+                                     variables, None)
+        return state
 
     # warmup (compile) + execution check: on the axon tunnel
     # block_until_ready can return for programs that silently failed
@@ -71,34 +84,112 @@ def main():
     # and verify the values are finite — a bench of a program that
     # never ran is worthless.
     rng, sub = jax.random.split(rng)
-    state, record, _ = move_step(state, sub, greedy, thresholds, variables, None)
+    state2, record, _ = move_step(state, sub, greedy, thresholds, variables,
+                                  None)
     warm = np.asarray(record["values"])
     assert np.isfinite(warm).all(), "move_step produced non-finite values"
 
-    # several timed windows, best wins: the device is reached over a
-    # shared tunnel with high run-to-run latency variance
-    n_moves = 4
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_moves):
-            rng, sub = jax.random.split(rng)
-            state, record, _ = move_step(state, sub, greedy, thresholds,
-                                         variables, None)
-        # sync through a fetch that depends on the final state's search
-        # (child_N row), so the full window's work is inside the timing
-        sync = np.asarray(state[1].child_N[0]).sum()
-        best_dt = min(best_dt, time.perf_counter() - t0)
-        assert sync >= 0
+    dt, _, _ = _timed_move_steps(step, state2, variables, rng, n_moves,
+                                 repeats)
+    env_steps = b * search.simulations * n_moves
+    return env_steps / dt
 
-    env_steps = game_batch * search.simulations * n_moves
-    value = env_steps / best_dt
+
+def _bench_e2e_continuous(size, net_cfg, search, game_batch, num_games):
+    """End-to-end continuous self-play: device step + host harvest +
+    replay ingestion (the pipeline selfplay phase's real rate).
+    Returns (moves_per_s, env_steps_per_s, tree_fresh_rate)."""
+    import jax
+
+    from sejonggo_tpu.actor.continuous import ContinuousSelfPlay
+    from sejonggo_tpu.learn import ReplayBuffer
+    from sejonggo_tpu.nets import AZNet, init_variables, make_predict_fn
+
+    net = AZNet.from_config(size, net_cfg)
+    variables = init_variables(net, jax.random.PRNGKey(0))
+    predict = make_predict_fn(net)
+    actor = ContinuousSelfPlay(
+        predict, variables, size=size, komi=5.5, search=search,
+        game_batch=game_batch, stop_exploration=8,
+        rng=jax.random.PRNGKey(0))
+    replay = ReplayBuffer(200_000, size)
+    # warm up (compile) with one game's worth of steps
+    actor.run(num_games=1, on_game=replay.add_game)
+    m0, t0 = actor.moves_recorded, time.perf_counter()
+    actor.run(num_games=num_games, on_game=replay.add_game)
+    dt = time.perf_counter() - t0
+    moves = actor.moves_recorded - m0
+    return (moves / dt, moves * search.simulations / dt,
+            actor.tree_fresh_rate)
+
+
+def main():
+    import jax
+
+    from sejonggo_tpu.config import NetConfig, SearchConfig
+
+    # fused Pallas flood-fill for the env/search capture+legality
+    # fixpoints — now on the real hot path (search leaf stepping goes
+    # through engine.step_stones_batch / _flood_b)
+    if jax.default_backend() != "cpu":
+        from sejonggo_tpu.ops import enable_pallas_flood
+
+        enable_pallas_flood(True)
+
+    on_cpu = jax.default_backend() == "cpu"
+
+    # ---- 9x9 headline: B=2048 is the single-chip v5e sweet spot
+    # (B=4096 exceeds the compiler's memory budget).  max_nodes=82 keeps
+    # a full decision's expansions + a small reuse window (measured
+    # 115k -> 148k env-steps/s vs the 2*sims default from HBM traffic).
+    size9 = 9
+    b9 = 64 if on_cpu else 2048
+    search9 = SearchConfig(simulations=64, batch_size=16, use_symmetry=True,
+                           max_nodes=82)
+    net9 = NetConfig(blocks=4, filters=64, value_hidden=64,
+                     compute_dtype="float32" if on_cpu else "bfloat16")
+    value = _bench_search(size9, net9, search9, b9, n_moves=4)
+
+    extras = {"sims_per_s_9x9": round(value, 1)}
+
+    # ---- end-to-end continuous actor at the same operating point
+    try:
+        e2e_moves, e2e_steps, fresh = _bench_e2e_continuous(
+            size9, net9, search9, b9, num_games=max(b9 // 16, 4))
+        extras["moves_per_s_9x9_e2e"] = round(e2e_moves, 2)
+        extras["env_steps_per_s_9x9_e2e"] = round(e2e_steps, 1)
+        extras["e2e_fraction_of_raw"] = round(e2e_steps / value, 4)
+        extras["tree_fresh_rate_9x9"] = round(fresh, 4)
+    except Exception as e:  # noqa: BLE001 — report, keep headline
+        extras["e2e_error"] = str(e)[:200]
+
+    # ---- 19x19 reference operating point (conf.py:23,29,33,36):
+    # 20 blocks x 256 filters, 1600 sims/move in 100-leaf NN batches
+    try:
+        size19 = 19
+        b19 = 2 if on_cpu else 16
+        sims19 = 100 if on_cpu else 1600
+        search19 = SearchConfig(simulations=sims19, batch_size=100,
+                                use_symmetry=True, max_nodes=sims19 + 18)
+        net19 = NetConfig(blocks=2 if on_cpu else 20,
+                          filters=32 if on_cpu else 256,
+                          value_hidden=32 if on_cpu else 256,
+                          compute_dtype="float32" if on_cpu else "bfloat16")
+        v19 = _bench_search(size19, net19, search19, b19, n_moves=1,
+                            repeats=2)
+        extras["env_steps_per_s_19x19"] = round(v19, 1)
+        extras["sims_per_s_19x19"] = round(v19, 1)
+        extras["moves_per_s_19x19"] = round(v19 / sims19, 3)
+    except Exception as e:  # noqa: BLE001
+        extras["bench_19x19_error"] = str(e)[:200]
+
     baseline = 100_000.0  # BASELINE.json north star, env-steps/s/chip
     print(json.dumps({
         "metric": "selfplay_env_steps_per_s_9x9",
         "value": round(value, 1),
         "unit": "env_steps/s",
         "vs_baseline": round(value / baseline, 4),
+        "extras": extras,
     }))
 
 
