@@ -112,8 +112,15 @@ def _make_continuous_step(predict: Callable, search: SearchConfig, size: int,
         move_n_out = jnp.where(ended, 0, move_n + 1)
         skipped_out = jnp.where(ended | ~move_valid, False, is_pass)
 
+        # compact harvest record: the signed stone grid (black-positive)
+        # of the pre-move board instead of its 17 redundant history
+        # planes — 17x less device->host traffic; the host rebuilds the
+        # planes from the per-step grid history at game end
+        stones = ((boards[..., 0] - boards[..., 1])
+                  * player[:, None, None].astype(boards.dtype)).astype(
+                      jnp.int8)
         record = dict(
-            boards=boards, policy_targets=ptargets, values=values,
+            stones=stones, policy_targets=ptargets, values=values,
             actions=actions, players=player, move_valid=move_valid,
             tree_fresh=tree_fresh, ended=ended,
             area_winner=area_winner, resign_winner=resign_winner,
@@ -186,7 +193,7 @@ class ContinuousSelfPlay:
         w = self.max_moves + 1
         a = size * size + 1
         self._ring = {
-            "boards": np.zeros((w, self.b, size, size, 17), np.int8),
+            "stones": np.zeros((w, self.b, size, size), np.int8),
             "policy_targets": np.zeros((w, self.b, a), np.float32),
             "values": np.zeros((w, self.b), np.float32),
             "actions": np.zeros((w, self.b), np.int32),
@@ -196,7 +203,7 @@ class ContinuousSelfPlay:
         self._ring_w = w
         self._start = np.zeros((self.b,), np.int64)  # first step of the
         #                                              slot's current game
-        self._gstep = 0
+        self._gstep = 0    # steps harvested (device steps may run ahead)
         # per-game resign thresholds, fixed for a game's lifetime
         # (reference assigns resign per game, self_play.py:310-313)
         self._threshold_fn = threshold_fn or (lambda: float("nan"))
@@ -216,16 +223,34 @@ class ContinuousSelfPlay:
 
     def _harvest_game(self, g: int, rec) -> Dict:
         """Extract slot g's finished game from the step ring buffer as
-        stacked arrays (T = recorded moves)."""
+        stacked arrays (T = recorded moves).  The 17-plane training
+        boards are rebuilt here from the per-step signed stone grids:
+        plane pair q of move t is (stones_{t-q} == side_t,
+        stones_{t-q} == -side_t), zeros before the game start — exactly
+        the reference encoding (play.py:226-242,295-299), verified by
+        the replay test in tests/test_continuous.py."""
         t = self._gstep
         idxs = np.arange(self._start[g], t + 1) % self._ring_w
         sel = idxs[self._ring["move_valid"][idxs, g]]
+        stones = self._ring["stones"][sel, g]          # (T, N, N)
+        players = self._ring["players"][sel, g]        # (T,)
+        n = self.size
+        tt = stones.shape[0]
+        boards = np.zeros((tt, n, n, 17), np.int8)
+        s = players[:, None, None].astype(np.int8)
+        for q in range(8):
+            shifted = np.concatenate(
+                [np.zeros((min(q, tt), n, n), np.int8),
+                 stones[: max(tt - q, 0)]])
+            boards[..., 2 * q] = shifted == s
+            boards[..., 2 * q + 1] = shifted == -s
+        boards[..., 16] = s
         return {
-            "boards": self._ring["boards"][sel, g],
+            "boards": boards,
             "policies": self._ring["policy_targets"][sel, g],
             "values": self._ring["values"][sel, g],
             "actions": self._ring["actions"][sel, g],
-            "players": self._ring["players"][sel, g],
+            "players": players,
             "winner": int(rec["area_winner"][g]),
             "resign_winner": int(rec["resign_winner"][g]),
             "resigned": bool(rec["resigned"][g]),
@@ -243,6 +268,30 @@ class ContinuousSelfPlay:
         thresholds (NaN = off); on_game(game) called per completion.
         """
         finished = []
+        pending = None  # previous step's device-side record (1-step lag:
+        # the next step is dispatched BEFORE the previous record is
+        # fetched, so the device never waits on the host/transfer).
+        # Consequence: a respawned game's first step still runs with its
+        # slot's previous resign threshold — one benign early step,
+        # thresholds are per-game from step two on.
+
+        def process(record):
+            rec = jax.device_get(record)  # one pytree fetch
+            w = self._gstep % self._ring_w
+            for k, buf in self._ring.items():
+                buf[w] = rec[k]
+            self.moves_recorded += int(rec["move_valid"].sum())
+            self.fresh_trees += int(rec["tree_fresh"].sum())
+            for g in np.nonzero(rec["ended"])[0]:
+                game = self._harvest_game(int(g), rec)
+                self._start[g] = self._gstep + 1
+                self._thresholds[g] = self._threshold_fn()
+                self.games_finished += 1
+                finished.append(game)
+                if on_game is not None:
+                    on_game(game)
+            self._gstep += 1
+
         while len(finished) < num_games:
             if thresholds_fn is not None:
                 thr = jnp.asarray(thresholds_fn(self.b), jnp.float32)
@@ -253,20 +302,10 @@ class ContinuousSelfPlay:
             self.rng, sub = jax.random.split(self.rng)
             self.state, record = self._step(self.state, sub, thr,
                                             self.variables)
-            rec = {k: np.asarray(v) for k, v in record.items()}
-            w = self._gstep % self._ring_w
-            for k, buf in self._ring.items():
-                buf[w] = rec[k]
-            self.moves_recorded += int(rec["move_valid"].sum())
-            self.fresh_trees += int(rec["tree_fresh"].sum())
             self.steps += 1
-            for g in np.nonzero(rec["ended"])[0]:
-                game = self._harvest_game(int(g), rec)
-                self._start[g] = self._gstep + 1
-                self._thresholds[g] = self._threshold_fn()
-                self.games_finished += 1
-                finished.append(game)
-                if on_game is not None:
-                    on_game(game)
-            self._gstep += 1
+            if pending is not None:
+                process(pending)
+            pending = record
+        if pending is not None:
+            process(pending)
         return finished
