@@ -213,8 +213,14 @@ def _make_move_step(predict1: Callable, predict2: Optional[Callable],
         new_done = done | resign_now | ended_bothpass
         new_skipped = jnp.where(move_valid, is_pass, skipped_last)
 
+        # compact record: signed stone grid instead of the 17-plane
+        # board (17x less device->host traffic; the host rebuilds the
+        # planes from the grid history — see play_games)
+        stones = ((boards[..., 0] - boards[..., 1])
+                  * player[:, None, None].astype(boards.dtype)).astype(
+                      jnp.int8)
         record = dict(
-            boards=boards, policy_targets=ptargets, values=values,
+            stones=stones, policy_targets=ptargets, values=values,
             actions=actions, players=player, move_valid=move_valid,
             tree_fresh=tree_fresh,
         )
@@ -310,13 +316,31 @@ def play_games(
     records = []
     flags_resign = np.zeros((b,), bool)
     flags_bothpass = np.zeros((b,), bool)
-    prev_done = np.zeros((b,), bool)
     resign_player = np.zeros((b,), np.int32)
 
     data_sharding = None
     if mesh is not None:
         data_sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(mesh_axis))
+
+    # 1-step lag: dispatch move t+1 before fetching move t's record, so
+    # the device never waits on the host/transfer (one jax.device_get
+    # per move).  The done-check runs on the lagged flags — at most one
+    # extra all-masked step whose moves are move_valid=False.
+    host_done = np.zeros((b,), bool)
+    pending = None
+
+    def process(p):
+        nonlocal resign_player
+        rec, fl = jax.device_get(p)
+        records.append(rec)
+        rn = fl["resign_now"]
+        # the resigner is the side to move when the resign fires
+        resign_player = np.where(rn & ~flags_resign, rec["players"],
+                                 resign_player)
+        flags_resign[:] |= rn
+        flags_bothpass[:] |= fl["ended_bothpass"]
+        host_done[:] |= rn | fl["ended_bothpass"]
 
     for move_n in range(max_moves):
         greedy = jnp.full((b,), move_n >= stop_exploration)
@@ -325,16 +349,13 @@ def play_games(
         rng, sub = jax.random.split(rng)
         state, record, flags = move_step(
             state, sub, greedy, resign_thresholds, variables1, variables2)
-        records.append({k: np.asarray(v) for k, v in record.items()})
-        rn = np.asarray(flags["resign_now"])
-        # the resigner is the side to move when the resign fires
-        resign_player = np.where(
-            rn & ~flags_resign, records[-1]["players"], resign_player)
-        flags_resign |= rn
-        flags_bothpass |= np.asarray(flags["ended_bothpass"])
-        done_now = np.asarray(state[5])
-        if done_now.all():
+        if pending is not None:
+            process(pending)
+        pending = (record, flags)
+        if host_done.all():
             break
+    if pending is not None:
+        process(pending)
 
     final_boards = state[0]
     winners, black_pts, white_pts = jax.vmap(partial(engine.score, komi=komi))(
@@ -347,8 +368,26 @@ def play_games(
     # resign-aware winner: opponent of the resigner
     resign_winners = np.where(flags_resign, -resign_player, winners)
 
+    # Rebuild the 17-plane training boards from the per-move signed
+    # stone grids: plane pair q of move t is (stones_{t-q} == side_t) /
+    # (== -side_t), zeros before the game start — the exact reference
+    # encoding (play.py:226-242,295-299), pinned by the full-game
+    # differential tests.
+    stones = np.stack([r["stones"] for r in records])     # (T, B, N, N)
+    players = np.stack([r["players"] for r in records])   # (T, B)
+    t_len, n = stones.shape[0], stones.shape[-1]
+    boards = np.zeros((t_len, b, n, n, 17), np.int8)
+    s = players[:, :, None, None].astype(np.int8)
+    for q in range(8):
+        shifted = np.concatenate(
+            [np.zeros((min(q, t_len), b, n, n), np.int8),
+             stones[: max(t_len - q, 0)]])
+        boards[..., 2 * q] = shifted == s
+        boards[..., 2 * q + 1] = shifted == -s
+    boards[..., 16] = s
+
     return GameBatch(
-        boards=np.stack([r["boards"] for r in records]),
+        boards=boards,
         policy_targets=np.stack([r["policy_targets"] for r in records]),
         values=np.stack([r["values"] for r in records]),
         actions=np.stack([r["actions"] for r in records]),
