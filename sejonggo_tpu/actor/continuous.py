@@ -211,6 +211,7 @@ class ContinuousSelfPlay:
             [self._threshold_fn() for _ in range(self.b)], np.float32)
         self.steps = 0
         self.games_finished = 0
+        self.empty_games = 0  # zero-move instant resigns (dropped)
         self.moves_recorded = 0
         self.fresh_trees = 0  # tree_fresh occurrences (reuse-rate metric)
 
@@ -259,7 +260,8 @@ class ContinuousSelfPlay:
             "holdout": bool(np.isnan(self._thresholds[g])),
         }
 
-    def run(self, num_games: int, thresholds_fn=None, on_game=None):
+    def run(self, num_games: int, thresholds_fn=None, on_game=None,
+            keep_empty: bool = False):
         """Play until `num_games` finish; returns finished-game dicts.
 
         Each game dict carries stacked per-move arrays (boards,
@@ -286,6 +288,12 @@ class ContinuousSelfPlay:
                 game = self._harvest_game(int(g), rec)
                 self._start[g] = self._gstep + 1
                 self._thresholds[g] = self._threshold_fn()
+                if game["boards"].shape[0] == 0 and not keep_empty:
+                    # zero-move (instant-resign) games carry no data;
+                    # the reference deletes them outright
+                    # (selfplay_worker.py:115-118, utils.py:147-160)
+                    self.empty_games += 1
+                    continue
                 self.games_finished += 1
                 finished.append(game)
                 if on_game is not None:

@@ -20,9 +20,20 @@ import numpy as np
 
 class ResignCalibrator:
     def __init__(self, holdout_percent: float = 0.10,
-                 allowed_error: float = 0.05, seed: int = 0):
+                 allowed_error: float = 0.05, seed: int = 0,
+                 cap: Optional[float] = None, window: int = 2048):
+        """cap: upper bound on the threshold (e.g. -0.8): resignation
+        only ever fires below it.  Guards against the calibration
+        collapse where a weak value head rates the EMPTY board below the
+        calibrated threshold and every non-holdout game resigns at move
+        0 (observed with untrained nets; the reference's equivalent
+        guard is deleting zero-move games, selfplay_worker.py:115-118).
+        window: only the most recent N holdout observations drive the
+        percentile, so calibration tracks the current model."""
         self.holdout_percent = holdout_percent
         self.allowed_error = allowed_error
+        self.cap = cap
+        self.window = window
         self.min_values: list = []
         self._rng = np.random.RandomState(seed)
         self.current: Optional[float] = None
@@ -61,9 +72,14 @@ class ResignCalibrator:
             return
         vals = np.asarray(game["values"])[mask]
         self.min_values.append(float(vals.min()))
+        self._recalibrate()
+
+    def _recalibrate(self) -> None:
+        self.min_values = self.min_values[-self.window:]
         idx = int(self.allowed_error * len(self.min_values))
         if idx > 0:
-            self.current = float(np.sort(self.min_values)[idx])
+            t = float(np.sort(self.min_values)[idx])
+            self.current = t if self.cap is None else min(t, self.cap)
 
     def observe(self, games) -> None:
         """Update calibration from a finished GameBatch: only games that
@@ -82,6 +98,4 @@ class ResignCalibrator:
             if not mask.any():
                 continue
             self.min_values.append(float(games.values[mask, g].min()))
-        idx = int(self.allowed_error * len(self.min_values))
-        if idx > 0:
-            self.current = float(np.sort(self.min_values)[idx])
+        self._recalibrate()

@@ -132,6 +132,11 @@ class SelfPlayConfig:
     stop_exploration: int = 30     # STOP_EXPLORATION (temperature -> 0)
     resignation_percent: float = 0.10
     resignation_allowed_error: float = 0.05
+    # Upper bound on the calibrated resign threshold (None = pure
+    # reference calibration).  Guards the cold-start collapse where a
+    # weak value head rates the empty board below the threshold and
+    # whole batches resign at move 0 (see actor/resign.py).
+    resignation_cap: Optional[float] = None
     # Number of games stepped in lockstep on device (the TPU-native
     # replacement for N_GAME_PROCESS=32 worker processes, conf.py:30).
     game_batch: int = 32

@@ -96,7 +96,8 @@ class Pipeline:
                                    seed=seed)
         self.calibrator = ResignCalibrator(
             cfg.selfplay.resignation_percent,
-            cfg.selfplay.resignation_allowed_error, seed=seed)
+            cfg.selfplay.resignation_allowed_error, seed=seed,
+            cap=cfg.selfplay.resignation_cap)
         self.metrics = MetricsLogger(os.path.join(workdir, "metrics.jsonl"))
         self.metrics_log = self.metrics.events  # backwards-compat alias
         # reference NoModelEvaluateWorker reuses eval games as training
@@ -191,6 +192,7 @@ class Pipeline:
         sims = moves * cfg.search.simulations
         stats = {
             "model": best, "games": actor.games_finished,
+            "empty_games": actor.empty_games,
             "moves": moves, "seconds": dt,
             "moves_per_s": moves / max(dt, 1e-9),
             "env_steps_per_s": sims / max(dt, 1e-9),

@@ -48,7 +48,8 @@ def test_continuous_resignation_and_thresholds():
     sp = ContinuousSelfPlay(
         losing, None, size=SIZE, komi=5.5, search=SEARCH, game_batch=2,
         stop_exploration=0, max_moves=10, rng=jax.random.PRNGKey(1))
-    games = sp.run(num_games=4, thresholds_fn=lambda b: np.full(b, -0.5))
+    games = sp.run(num_games=4, thresholds_fn=lambda b: np.full(b, -0.5),
+                   keep_empty=True)
     # with value always below threshold, every game resigns immediately
     for game in games:
         assert game["resigned"]
