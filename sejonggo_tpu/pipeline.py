@@ -425,6 +425,48 @@ class Pipeline:
                             "evaluate": ev, "best": self.store.best_name()})
         return results
 
+    # --- deployment-role loops (reference main_selfplay.py:9-29,
+    # main_training.py:34-98, main_spe.py:10-35): split the generation
+    # loop across machines that share the workdir.  On a TPU pod the
+    # single `run()` over the mesh replaces all of this; the roles exist
+    # for reference-style deployments on disjoint machines. -----------
+
+    def run_selfplay_role(self, iterations: int = 0,
+                          selfplay_games: int = 0):
+        """Self-play server: generate games with the current best model,
+        re-reading the best pointer each round (the reference loops
+        until no new best model appears; here iterations=0 = forever)."""
+        self.init_models()
+        i = 0
+        while iterations == 0 or i < iterations:
+            self.selfplay_phase(selfplay_games)
+            self.save_run_state()
+            i += 1
+
+    def run_train_role(self, iterations: int = 0):
+        """Training server: train whenever the replay has data
+        (reference main_training.py's continuous fit loop)."""
+        self.init_models()
+        i = 0
+        while iterations == 0 or i < iterations:
+            if len(self.replay) < self.cfg.train.batch_size:
+                self.load_run_state()
+                if len(self.replay) < self.cfg.train.batch_size:
+                    time.sleep(1.0)
+                    continue
+            self.train_phase()
+            i += 1
+
+    def run_spe_role(self, iterations: int = 0, selfplay_games: int = 0):
+        """Self-play + evaluate server (reference main_spe.py)."""
+        self.init_models()
+        i = 0
+        while iterations == 0 or i < iterations:
+            self.selfplay_phase(selfplay_games)
+            self.evaluate_phase()
+            self.save_run_state()
+            i += 1
+
 
 def main():
     parser = argparse.ArgumentParser(description="sejonggo-tpu pipeline")
@@ -437,6 +479,12 @@ def main():
     parser.add_argument("--archive-selfplay", action="store_true",
                         help="also write self-play games as SGF "
                         "(reference sgfsave.py behavior)")
+    parser.add_argument("--role",
+                        choices=["full", "selfplay", "train", "spe"],
+                        default="full",
+                        help="deployment role (reference main_selfplay/"
+                        "main_training/main_spe); 'full' runs the closed "
+                        "loop")
     # multi-host pod role (replaces the reference's master/slave +
     # main_selfplay/main_training deployment roles): run the SAME
     # program on every host with its coordinator/process flags; jax
@@ -458,9 +506,16 @@ def main():
     setup_logging(os.path.join(args.workdir, cfg.log_dir))
     pipe = Pipeline(cfg, args.workdir, seed=args.seed)
     pipe.archive_selfplay = args.archive_selfplay
-    results = pipe.run(args.generations, args.games)
-    for r in results:
-        print(r)
+    if args.role == "selfplay":
+        pipe.run_selfplay_role(args.generations, args.games)
+    elif args.role == "train":
+        pipe.run_train_role(args.generations)
+    elif args.role == "spe":
+        pipe.run_spe_role(args.generations, args.games)
+    else:
+        results = pipe.run(args.generations, args.games)
+        for r in results:
+            print(r)
 
 
 if __name__ == "__main__":

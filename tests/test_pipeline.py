@@ -108,3 +108,18 @@ def test_auto_dp_picks_divisible_mesh(tmp_path):
     pipe = Pipeline(micro_config(), str(tmp_path), seed=0)
     assert pipe.train_mesh.size == 4
     assert pipe.cfg.selfplay.game_batch % pipe.actor_mesh.size == 0
+
+
+def test_deployment_roles(tmp_path):
+    """Reference main_selfplay/main_training/main_spe role loops on a
+    shared workdir (pipeline roles for disjoint-machine deployments)."""
+    cfg = micro_config()
+    pipe = Pipeline(cfg, str(tmp_path), seed=0)
+    pipe.run_selfplay_role(iterations=1, selfplay_games=4)
+    assert len(pipe.replay) > 0
+    pipe.run_train_role(iterations=1)
+    assert pipe.store.latest_name() == "model_2"
+    pipe2 = Pipeline(cfg, str(tmp_path), seed=1)
+    pipe2.load_run_state()
+    pipe2.run_spe_role(iterations=1, selfplay_games=4)
+    assert pipe2.metrics.last("evaluate") is not None
