@@ -339,16 +339,22 @@ def _advance_root(tree: Tree, action, new_root_board, reserve: int = 0):
     self_play.py:195-196).
 
     `reserve`: node slots the next decision will allocate (its
-    simulation count).  If the surviving subtree would not leave that
-    much capacity, the tree is marked invalid (dropped) instead —
-    overflowing the fixed arrays would clamp scatters into the last
-    slot and corrupt child pointers.  The reference's dict trees grow
-    without bound (play.py:376-421); this is the price of the
-    fixed-capacity array tree, paid as a rare loss of reused statistics.
+    simulation count).  The surviving subtree is TRUNCATED to fit
+    ``capacity - reserve`` slots: survivors are kept in node-index
+    order (index order is topological — children are always allocated
+    after their parent and compaction preserves relative order, so any
+    index prefix is a valid tree), and edges into dropped nodes revert
+    to unexpanded (child_idx=-1) while KEEPING their visit/value stats,
+    so the next decision's PUCT still sees them and re-expands on
+    demand.  The reference's dict trees grow without bound
+    (play.py:376-421); truncation is the fixed-capacity array tree's
+    price, paid as loss of the deepest/latest-expanded statistics
+    rather than (as before) wholesale invalidation of the reused tree.
     """
     c = tree.parent.shape[0]
+    budget = c - reserve  # static
     new_root = tree.child_idx[0, action]
-    valid = new_root >= 0
+    valid = new_root >= 0 if budget >= 1 else jnp.asarray(False)
     nr = jnp.maximum(new_root, 0)
 
     idxs = jnp.arange(c, dtype=jnp.int32)
@@ -358,17 +364,25 @@ def _advance_root(tree: Tree, action, new_root_board, reserve: int = 0):
         keep = keep | keep[anc]
         anc = anc[anc]
 
-    new_idx = (jnp.cumsum(keep) - 1).astype(jnp.int32)
+    rank = (jnp.cumsum(keep) - 1).astype(jnp.int32)
+    # truncate: the new root nr has the smallest surviving index (its
+    # descendants were all allocated later), so it is always rank 0
+    keep = keep & (rank < max(budget, 1))
+    new_idx = rank
     order = jnp.argsort(jnp.where(keep, idxs, c + idxs))
     n_new = jnp.sum(keep).astype(jnp.int32)
-    valid = valid & (n_new + reserve <= c)
     live = idxs < n_new
 
     def g(arr):
         return arr[order]
 
     ci = g(tree.child_idx)
-    ci = jnp.where((ci >= 0) & live[:, None], new_idx[ci], -1)
+    ci_rank = new_idx[jnp.maximum(ci, 0)]
+    # a live node's expanded child is always a descendant of nr (in the
+    # pre-truncation keep set), so its rank is exact; rank >= n_new
+    # means the child was truncated -> edge reverts to unexpanded
+    ci = jnp.where((ci >= 0) & live[:, None] & (ci_rank < n_new),
+                   ci_rank, -1)
     par = jnp.where(live, new_idx[g(tree.parent)], 0).at[0].set(0)
     pa = jnp.where(live, g(tree.parent_action), -1).at[0].set(-1)
 

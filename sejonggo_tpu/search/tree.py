@@ -59,8 +59,10 @@ class Tree(NamedTuple):
 def tree_capacity(simulations: int, batch_size: int) -> int:
     """Node slots: one per simulation for the current decision, plus a
     reuse budget of the same order for the subtree carried across moves
-    (advance_root drops trees whose survivors would not leave room for
-    a full decision's expansions — see mcts._advance_root)."""
+    (advance_root TRUNCATES survivors to whatever capacity remains
+    after reserving a full decision's expansions — see
+    mcts._advance_root, so smaller capacities stay correct and merely
+    retain less of the reused subtree)."""
     return 2 * simulations + batch_size + 2
 
 

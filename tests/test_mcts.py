@@ -269,6 +269,71 @@ def test_advance_root_reuse():
     assert int(new_tree.root_N[0]) == old_child_count + 8
 
 
+def test_advance_root_truncates_to_reserve_budget():
+    """When survivors exceed capacity - reserve, the reused tree is
+    TRUNCATED (index-prefix of the surviving subtree) instead of
+    dropped: root stats survive, edges into dropped nodes revert to
+    unexpanded but keep their visit counts, and search continues."""
+    from sejonggo_tpu.nets import make_constant_predict_fn
+
+    # policy mass concentrated on action 0 -> the search digs a deep
+    # chain under the root's action-0 child, so that child's surviving
+    # subtree is much larger than the post-reserve budget
+    concentrated = make_constant_predict_fn(
+        np.eye(A, dtype=np.float32)[0], value=1.0)
+    boards = jnp.stack([engine.init_board(SIZE)])
+    policies, _ = concentrated(boards)
+    tree = new_tree_batch(policies, boards, CAP)
+    tree = run_search(tree, concentrated, jax.random.PRNGKey(0),
+                      simulations=48, batch_size=8)
+    counts = np.asarray(tree.child_N[0, 0])
+    action = int(counts.argmax())
+    old_child_count = int(tree.child_N[0, 0, action])
+    old_child_node = int(tree.child_idx[0, 0, action])
+    old_grandchildren = np.asarray(tree.child_N[0, old_child_node])
+    # true survivor count: all descendants of the chosen child
+    parent = np.asarray(tree.parent[0])
+    n_alloc = int(tree.n_nodes[0])
+
+    def is_desc(i):
+        while i != 0:
+            if i == old_child_node:
+                return True
+            i = int(parent[i])
+        return False
+
+    survivors = sum(is_desc(i) for i in range(1, n_alloc)) + (
+        1 if old_child_node == 0 else 0)
+    reserve = 48
+    budget = CAP - reserve  # = 16
+    assert budget >= 2
+
+    expected = engine.step(engine.init_board(SIZE), action)
+    new_tree, valid = advance_root_batch(
+        tree, jnp.array([action]), expected[None], reserve=reserve)
+    assert bool(valid[0])
+    n_nodes = int(new_tree.n_nodes[0])
+    assert n_nodes <= budget
+    # root stats survive truncation
+    assert int(new_tree.root_N[0]) == old_child_count
+    # edge stats of the new root survive even where children dropped
+    assert np.array_equal(np.asarray(new_tree.child_N[0, 0]),
+                          old_grandchildren)
+    # all child pointers stay inside the live prefix
+    ci = np.asarray(new_tree.child_idx[0])
+    assert ci.max() < n_nodes
+    live_parents = np.asarray(new_tree.parent[0])[:n_nodes]
+    assert (live_parents < n_nodes).all()
+    # search keeps working on the truncated tree and re-expands edges
+    new_tree = run_search(new_tree, concentrated, jax.random.PRNGKey(2),
+                          simulations=reserve, batch_size=8)
+    assert int(new_tree.n_nodes[0]) <= CAP
+    assert int(new_tree.root_N[0]) == old_child_count + reserve
+    # the truncation actually triggered
+    assert survivors > budget
+    assert n_nodes < survivors
+
+
 def test_advance_root_unexpanded_is_invalid():
     boards = jnp.stack([engine.init_board(SIZE)])
     policies, _ = dummy_predict_fn(boards)
