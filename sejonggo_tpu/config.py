@@ -209,6 +209,28 @@ def small_9x9(**overrides) -> Config:
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 
+def strength_9x9(**overrides) -> Config:
+    """9x9 strength-oriented TPU config (CLAUDE.md 'strength' knobs):
+    visit-count policy targets, negamax backup, board-scaled Dirichlet
+    noise (~10/avg_moves), resignation capped against the cold-start
+    collapse, and batch sizes sized for one v5e chip."""
+    cfg = Config(
+        go=GoConfig(size=9, komi=5.5),
+        net=NetConfig(blocks=6, filters=96, value_hidden=96,
+                      compute_dtype="bfloat16"),
+        search=SearchConfig(simulations=96, batch_size=16,
+                            dirichlet_alpha=0.15, negamax=True,
+                            policy_target="visits", max_nodes=128),
+        selfplay=SelfPlayConfig(num_games=512, stop_exploration=12,
+                                game_batch=512, resignation_cap=-0.9),
+        train=TrainConfig(batch_size=256, iters_per_epoch=64,
+                          epochs_per_save=4, replay_window=80_000,
+                          lr=2e-2),
+        eval=EvalConfig(num_games=64),
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
 def full_19x19(**overrides) -> Config:
     """Full-scale 19x19 config matching the reference's deployment."""
     cfg = Config()

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sejonggo_tpu.config import Config, SearchConfig, full_19x19, small_9x9
+from sejonggo_tpu.config import (Config, SearchConfig, full_19x19,
+                                 small_9x9, strength_9x9)
 from sejonggo_tpu.goenv import (
     engine,
     gtp_to_xy,
@@ -321,7 +322,8 @@ class GTPFrontend:
 
 
 def _build_engine(args):
-    cfg: Config = small_9x9() if args.preset == "tiny" else full_19x19()
+    cfg: Config = {"tiny": small_9x9, "strength": strength_9x9,
+                   "full": full_19x19}[args.preset]()
     if getattr(args, "engine", "net") == "michi":
         from sejonggo_tpu.config import MichiConfig
 
@@ -353,7 +355,8 @@ def _build_engine(args):
 
 def main():
     parser = argparse.ArgumentParser(description="sejonggo-tpu GTP engine")
-    parser.add_argument("--preset", choices=["tiny", "full"], default="full")
+    parser.add_argument("--preset", choices=["tiny", "strength", "full"],
+                        default="full")
     parser.add_argument("--model-dir", default="sp_models")
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--dummy", action="store_true",

@@ -23,7 +23,8 @@ from typing import Optional
 import jax
 import numpy as np
 
-from sejonggo_tpu.config import Config, full_19x19, small_9x9
+from sejonggo_tpu.config import (Config, full_19x19, small_9x9,
+                                 strength_9x9)
 from sejonggo_tpu.learn.evaluate import evaluate_models
 
 
@@ -171,13 +172,15 @@ def main():
                         help="checkpoint name | best | latest | heuristic | dummy")
     parser.add_argument("--b", required=True)
     parser.add_argument("--games", type=int, default=8)
-    parser.add_argument("--preset", choices=["tiny", "full"], default="tiny")
+    parser.add_argument("--preset", choices=["tiny", "strength", "full"],
+                        default="tiny")
     parser.add_argument("--model-dir", default="sp_models")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--gtp", default=None,
                         help="external GTP command for --b (overrides --b)")
     args = parser.parse_args()
-    cfg = small_9x9() if args.preset == "tiny" else full_19x19()
+    cfg = {"tiny": small_9x9, "strength": strength_9x9,
+           "full": full_19x19}[args.preset]()
     if args.gtp:
         res = duel_vs_gtp(args.a, args.gtp, cfg=cfg, model_dir=args.model_dir,
                           games=args.games, seed=args.seed)

@@ -37,6 +37,15 @@ def make_mesh(dp: int = 0, axis_name: str = "dp", local: bool = False) -> Mesh:
     devices = jax.local_devices() if local else jax.devices()
     if dp <= 0:
         dp = len(devices)
+    if not local and jax.process_count() > 1 and dp < len(devices):
+        # a partial GLOBAL mesh must take devices evenly from every
+        # process (devices[:dp] would select only the first hosts'
+        # chips, leaving other processes without addressable devices)
+        per = max(dp // jax.process_count(), 1)
+        by_proc: dict = {}
+        for d in devices:
+            by_proc.setdefault(d.process_index, []).append(d)
+        devices = [d for p in sorted(by_proc) for d in by_proc[p][:per]]
     return Mesh(np.asarray(devices[:dp]).reshape(dp), (axis_name,))
 
 

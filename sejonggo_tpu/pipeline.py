@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from sejonggo_tpu.actor import ResignCalibrator, play_games
-from sejonggo_tpu.config import Config, full_19x19, small_9x9
+from sejonggo_tpu.config import (Config, full_19x19, small_9x9,
+                                 strength_9x9)
 from sejonggo_tpu.learn import (
     CheckpointStore,
     ReplayBuffer,
@@ -35,11 +36,15 @@ from sejonggo_tpu.nets import AZNet, init_variables, make_predict_fn
 logger = logging.getLogger("sejonggo_tpu.pipeline")
 
 
-def _auto_dp(n_devices: int, game_batch: int, train_batch: int) -> int:
-    """Largest device count <= n_devices that divides both the self-play
-    game batch and the train batch (so both phases shard evenly)."""
-    for d in range(min(n_devices, game_batch, train_batch), 0, -1):
-        if game_batch % d == 0 and train_batch % d == 0:
+def _auto_dp(n_devices: int, batch: int) -> int:
+    """Largest device count <= n_devices that divides `batch` (so the
+    phase shards evenly).  The train and actor meshes are sized
+    independently: the train batch is a GLOBAL quantity over all hosts'
+    devices, the self-play game batch a PER-HOST one over local devices
+    (conflating them capped a pod's train mesh at the per-host game
+    batch and built it from process 0's chips only)."""
+    for d in range(min(n_devices, batch), 0, -1):
+        if batch % d == 0:
             return d
     return 1
 
@@ -81,10 +86,16 @@ class Pipeline:
         if mesh is not None:
             self.train_mesh = self.actor_mesh = mesh
         else:
-            dp = cfg.dist.dp or _auto_dp(len(jax.devices()),
-                                         cfg.selfplay.game_batch,
-                                         cfg.train.batch_size)
-            local_dp = min(dp, len(jax.local_devices()))
+            nproc = jax.process_count()
+            n_local = len(jax.local_devices())
+            if cfg.dist.dp:
+                dp = cfg.dist.dp
+            else:
+                # each host contributes the same number of devices; the
+                # per-host count must divide the per-host train shard
+                local_bs = max(cfg.train.batch_size // nproc, 1)
+                dp = _auto_dp(n_local, local_bs) * nproc
+            local_dp = _auto_dp(n_local, cfg.selfplay.game_batch)
             self.train_mesh = make_mesh(dp, axis)
             self.actor_mesh = make_mesh(local_dp, axis, local=True)
         self.mesh_axis = axis
@@ -470,7 +481,8 @@ class Pipeline:
 
 def main():
     parser = argparse.ArgumentParser(description="sejonggo-tpu pipeline")
-    parser.add_argument("--preset", choices=["tiny", "full"], default="tiny")
+    parser.add_argument("--preset", choices=["tiny", "strength", "full"],
+                        default="tiny")
     parser.add_argument("--generations", type=int, default=1)
     parser.add_argument("--games", type=int, default=0,
                         help="self-play games per generation (0 = preset)")
@@ -501,7 +513,8 @@ def main():
     if args.num_hosts > 1 or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         init_distributed(args.coordinator, args.num_hosts or None,
                          args.host_id)
-    cfg = small_9x9() if args.preset == "tiny" else full_19x19()
+    cfg = {"tiny": small_9x9, "strength": strength_9x9,
+           "full": full_19x19}[args.preset]()
     os.makedirs(args.workdir, exist_ok=True)
     setup_logging(os.path.join(args.workdir, cfg.log_dir))
     pipe = Pipeline(cfg, args.workdir, seed=args.seed)

@@ -103,10 +103,14 @@ def test_pipeline_generation_on_8_device_mesh(tmp_path):
 
 
 def test_auto_dp_picks_divisible_mesh(tmp_path):
-    """Default Pipeline (no DistConfig) auto-sizes the mesh to divide
-    both batches: game_batch=4, train=8 on 8 devices -> dp=4."""
+    """Default Pipeline (no DistConfig) sizes the meshes independently:
+    the train mesh to divide the (global) train batch, the actor mesh to
+    divide the (per-host) game batch — game_batch=4, train=8 on 8
+    devices -> train dp=8, actor dp=4."""
     pipe = Pipeline(micro_config(), str(tmp_path), seed=0)
-    assert pipe.train_mesh.size == 4
+    assert pipe.train_mesh.size == 8
+    assert pipe.cfg.train.batch_size % pipe.train_mesh.size == 0
+    assert pipe.actor_mesh.size == 4
     assert pipe.cfg.selfplay.game_batch % pipe.actor_mesh.size == 0
 
 
