@@ -221,8 +221,13 @@ def strength_9x9(**overrides) -> Config:
         search=SearchConfig(simulations=96, batch_size=16,
                             dirichlet_alpha=0.15, negamax=True,
                             policy_target="visits", max_nodes=128),
+        # resignation fully OFF (holdout=100%): even a capped threshold
+        # death-spirals with a cold value head — the head learns
+        # "white always loses" from the 2-move resigned games and then
+        # resigns every white game at move 1 (observed; CLAUDE.md
+        # parity-vs-strength notes).  Games end by both-pass/move cap.
         selfplay=SelfPlayConfig(num_games=512, stop_exploration=12,
-                                game_batch=512, resignation_cap=-0.9),
+                                game_batch=512, resignation_percent=1.0),
         train=TrainConfig(batch_size=256, iters_per_epoch=64,
                           epochs_per_save=4, replay_window=80_000,
                           lr=2e-2),

@@ -60,8 +60,40 @@ def _resolve(name: str, cfg: Config, model_dir: str):
     return make_predict_fn(net), store.load_variables(name, template)
 
 
+def save_gamebatch_sgfs(gb, *, size: int, komi: float, outdir: str,
+                        prefix: str, a_name: str, b_name: str) -> int:
+    """Write every game of a GameBatch as an SGF with RE/PB/PW (the
+    reference committed its evidence games the same way,
+    real_games/*.sgf; sgfsave.py:130-167 layout)."""
+    import os
+
+    from sejonggo_tpu.io.sgf import divmod_xy, game_to_sgf
+
+    os.makedirs(outdir, exist_ok=True)
+    t_len, b = gb.actions.shape
+    for g in range(b):
+        moves = [(int(gb.players[t, g]),
+                  *divmod_xy(int(gb.actions[t, g]), size))
+                 for t in range(t_len) if gb.move_valid[t, g]]
+        w = int(gb.winners[g])
+        if w == 0:
+            result = "0"
+        else:
+            margin = abs(float(gb.black_points[g]) - float(gb.white_points[g]))
+            result = ("B" if w == 1 else "W") + f"+{margin:g}"
+        a_black = bool(gb.model1_isblack[g])
+        with open(os.path.join(outdir, f"{prefix}_{g:03d}.sgf"), "w") as f:
+            f.write(game_to_sgf(
+                size, komi, moves, result,
+                values=[float(v) for v in gb.values[:, g]][:len(moves)],
+                black_name=a_name if a_black else b_name,
+                white_name=b_name if a_black else a_name))
+    return b
+
+
 def duel(a: str, b: str, *, cfg: Config, model_dir: str, games: int,
-         seed: int = 0, max_moves: Optional[int] = None) -> dict:
+         seed: int = 0, max_moves: Optional[int] = None,
+         sgf_dir: Optional[str] = None) -> dict:
     predict_a, vars_a = _resolve(a, cfg, model_dir)
     predict_b, vars_b = _resolve(b, cfg, model_dir)
     eval_cfg = cfg.eval.__class__(num_games=games, margin=0.5)
@@ -69,7 +101,13 @@ def duel(a: str, b: str, *, cfg: Config, model_dir: str, games: int,
         predict_a, predict_b, size=cfg.go.size, komi=cfg.go.komi,
         search=cfg.search, eval_cfg=eval_cfg, rng=jax.random.PRNGKey(seed),
         variables_latest=vars_a, variables_best=vars_b,
-        game_batch=min(games, 32), max_moves=max_moves)
+        game_batch=min(games, 32), max_moves=max_moves,
+        collect_games=sgf_dir is not None)
+    if sgf_dir is not None:
+        for i, gb in enumerate(res.pop("game_batches", [])):
+            save_gamebatch_sgfs(
+                gb, size=cfg.go.size, komi=cfg.go.komi, outdir=sgf_dir,
+                prefix=f"{a}_vs_{b}_b{i}", a_name=a, b_name=b)
     res["a"], res["b"] = a, b
     res["elo_diff_a_vs_b"] = elo_diff(res["winrate"])
     return res
@@ -178,6 +216,8 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--gtp", default=None,
                         help="external GTP command for --b (overrides --b)")
+    parser.add_argument("--sgf-dir", default=None,
+                        help="write every duel game as SGF into this dir")
     args = parser.parse_args()
     cfg = {"tiny": small_9x9, "strength": strength_9x9,
            "full": full_19x19}[args.preset]()
@@ -186,7 +226,7 @@ def main():
                           games=args.games, seed=args.seed)
     else:
         res = duel(args.a, args.b, cfg=cfg, model_dir=args.model_dir,
-                   games=args.games, seed=args.seed)
+                   games=args.games, seed=args.seed, sgf_dir=args.sgf_dir)
     print(res)
 
 
