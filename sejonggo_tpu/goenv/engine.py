@@ -438,6 +438,34 @@ def illegal_moves_mask_stones_batch(stones, prev_stones, sides):
         [illegal, jnp.zeros((stones.shape[0], 1), bool)], axis=-1)
 
 
+_step_legal_impl = None
+
+
+def set_step_legal_impl(fn) -> None:
+    """Install a fused (stones, sides, actions) -> (new_stones, illegal)
+    implementation for the search leaf path; None restores the XLA
+    composition.  Used by ops.gostep to plug in the fused Pallas TPU
+    kernel."""
+    global _step_legal_impl
+    _step_legal_impl = fn
+
+
+def step_and_illegal_stones_batch(stones, sides, actions):
+    """Fused leaf step + next-mover legality: (B, N, N) signed grids,
+    (B,) sides/actions -> (new_stones (B, N, N) int8,
+    illegal (B, N*N+1) bool).  THE search hot path: one call covers the
+    B*k leaf expansions of a search round (mcts.simulate_round).
+    Semantics = step_stones_batch then illegal_moves_mask_stones_batch
+    on (new, parent, -side); the pluggable ops.gostep Pallas kernel
+    runs the whole sequence VMEM-resident."""
+    if _step_legal_impl is not None:
+        return _step_legal_impl(stones, sides, actions)
+    new_stones = step_stones_batch(stones, sides, actions)
+    next_side = (-jnp.asarray(sides, jnp.int8))
+    illegal = illegal_moves_mask_stones_batch(new_stones, stones, next_side)
+    return new_stones, illegal
+
+
 def step_batch(boards, actions):
     """Batched `step`: boards (B, N, N, 17), actions (B,) int32."""
     n = boards.shape[-3]

@@ -223,22 +223,20 @@ def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
     b = leaf_p.shape[0]
     n = trees.node_stones.shape[-1]
 
-    # step all leaves in one batched call on compact stone grids; the
-    # batched variants run their flood fixpoints through the pluggable
-    # _flood_b (ops/flood.py Pallas kernel applies here — this is ~98%
-    # of the env's flood work at typical sims/batch settings)
+    # step all leaves + legality in one fused batched call on compact
+    # stone grids — this is ~98% of the env's flood work at typical
+    # sims/batch settings; with ops.gostep enabled the whole
+    # place/capture/suicide/ko/liberty sequence runs as one
+    # VMEM-resident Pallas kernel (engine.step_and_illegal_stones_batch)
     parent_stones = jnp.take_along_axis(
         trees.node_stones, leaf_p[:, :, None, None], axis=1)
     parent_side = jnp.take_along_axis(trees.node_side, leaf_p, axis=1)
-    flat_stones = engine.step_stones_batch(
+    flat_stones, flat_illegal = engine.step_and_illegal_stones_batch(
         parent_stones.reshape(b * k, n, n),
         parent_side.reshape(-1), leaf_a.reshape(-1))
     leaf_side = (-parent_side).astype(jnp.int8)
-    flat_legal = engine.illegal_moves_mask_stones_batch(
-        flat_stones, parent_stones.reshape(b * k, n, n),
-        leaf_side.reshape(-1))
     leaf_stones = flat_stones.reshape(b, k, n, n)
-    legal = (~flat_legal).reshape(b, k, -1)
+    legal = (~flat_illegal).reshape(b, k, -1)
 
     feats = leaf_features(trees, leaf_p, leaf_stones, leaf_side)
     flat_feats = feats.reshape(b * k, n, n, 17)
