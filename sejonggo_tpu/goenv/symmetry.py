@@ -102,6 +102,32 @@ def inverse_policy_batch(policies, sym_ids):
     return jnp.take_along_axis(policies, pperm, axis=1)
 
 
+def transform_flat_switch(x, sym, size: int):
+    """Permute the flat spatial LAST axis of `x` ((..., size*size) or any
+    trailing-flat layout) by symmetry id `sym` (traced scalar) via a
+    static-permutation lax.switch — compiles to plain data movement, no
+    dynamic gather.  Used to fuse the D4 transform into feature-source
+    grids instead of the full feature tensor (mcts.leaf_features)."""
+    bperm, _ = symmetry_tables(size)
+
+    def br(s):
+        return lambda: x[..., jnp.asarray(bperm[s])]
+
+    return jax.lax.switch(sym, [br(s) for s in range(NUM_SYMMETRIES)])
+
+
+def inverse_policy_switch(policy, sym):
+    """Map a policy on the sym-transformed board (traced scalar id) back
+    to original move order via a static-permutation switch."""
+    n = int(np.sqrt(policy.shape[-1] - 1))
+    _, pperm = symmetry_tables(n)
+
+    def br(s):
+        return lambda: policy[..., jnp.asarray(pperm[s])]
+
+    return jax.lax.switch(sym, [br(s) for s in range(NUM_SYMMETRIES)])
+
+
 def random_symmetry_predict(predict_fn, boards, rng, num_symmetries: int = NUM_REFERENCE_SYMMETRIES):
     """Evaluate `predict_fn` under ONE random D4 symmetry for the whole
     batch — exactly the reference's behavior (random_symmetry_predict

@@ -36,7 +36,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from sejonggo_tpu.goenv import engine
-from sejonggo_tpu.goenv.symmetry import random_symmetry_predict
 from sejonggo_tpu.search.tree import Tree
 
 
@@ -165,51 +164,101 @@ def _expand_backup(tree: Tree, leaf_p, leaf_a, leaf_stones, leaf_side,
     )
 
 
-def leaf_features(trees: Tree, leaf_p, leaf_stones, leaf_side):
+def _draw_symmetry(rng, num_symmetries: int):
+    """One D4 symmetry id per network call (reference
+    random_symmetry_predict symmetry.py:127-132 draws a single transform
+    per predict).  Module-level so tests can pin a fixed transform."""
+    return jax.random.randint(rng, (), 0, num_symmetries)
+
+
+def leaf_features(trees: Tree, leaf_p, leaf_stones, leaf_side, sym=None):
     """(B, k, N, N, 17) int8: reconstruct the reference 17-plane feature
     stack for each leaf from its ancestor chain of stone grids, falling
     back to the tree root's stored history planes past the root.
 
-    Exactness: plane pair q of a position holds (the position's OWN
-    side, its opponent) stones q positions ago — the history shift plus
+    Exactness: plane pair j of a position holds (the position's OWN
+    side, its opponent) stones j positions ago — the history shift plus
     player swap re-express every pair in the new mover's colors each
     step (play.py:226-242,295-299 with SWAP_INDEX play.py:15).  So
     along the ancestor chain the pair for offset j is simply
     (stones == s, stones == -s) with s = leaf_side, and past the root
-    (offset j = m + q for root depth m) the root's pair q applies with
-    its planes swapped iff m is odd (root side r = s * (-1)^m).
-    Verified bit-for-bit against engine.step chains in
-    tests/test_mcts.py.
+    (offset j = m + q where m = first chain step that hits the root
+    slot) the root's pair q applies with its planes swapped iff m is
+    odd (root side r = s * (-1)^m).  Verified bit-for-bit against
+    engine.step chains in tests/test_mcts.py.
+
+    Layout: everything runs on flat-spatial rows so the whole
+    reconstruction is two row-gathers (ancestor stones from the node
+    table, history pairs from the transposed root planes) plus
+    elementwise compares — gathering full (N*N,) rows is the
+    TPU-friendly gather shape; per-element plane gathers are ~5x
+    slower (measured).
+
+    `sym`: optional traced D4 symmetry id; the spatial permutation is
+    applied to the (small) SOURCE grids — node-stone table, root
+    planes, leaf grids — instead of the assembled feature tensor, so
+    the random-symmetry evaluation costs ~1/4 of a post-hoc gather of
+    the (B*k, N, N, 17) features.  The caller inverse-permutes the
+    policy (symmetry.inverse_policy_switch).
     """
     b, k = leaf_p.shape
     n = leaf_stones.shape[-1]
-    s = leaf_side[:, :, None, None]
-    planes = [leaf_stones == s, leaf_stones == -s]
+    nn = n * n
+    c = trees.node_stones.shape[1]
 
+    leaf_flat = leaf_stones.reshape(b, k, nn)
+    node_flat = trees.node_stones.reshape(b, c, nn)
+    # (B, 17, nn): plane-major so history pairs gather as contiguous rows
+    root_t = jnp.swapaxes(trees.root_board.reshape(b, nn, 17), 1, 2)
+    if sym is not None:
+        from sejonggo_tpu.goenv.symmetry import transform_flat_switch
+
+        leaf_flat = transform_flat_switch(leaf_flat, sym, n)
+        node_flat = transform_flat_switch(node_flat, sym, n)
+        root_t = transform_flat_switch(root_t, sym, n)
+
+    # ancestor chain a_j (j = 1..7): leaf's parent node, grandparent, ...
+    # (parent[0] == 0, so the chain parks at the root slot)
     idx = leaf_p
-    past = jnp.zeros((b, k), jnp.int32)
-    root_pairs = trees.root_board[:, None]  # (B, 1, N, N, 17)
-    root_pairs = jnp.broadcast_to(root_pairs, (b, k, n, n, 17))
-    for j in range(1, 8):
-        onchain = (past == 0)[:, :, None, None]
-        stones_j = jnp.take_along_axis(
-            trees.node_stones, idx[:, :, None, None], axis=1)
-        q = jnp.clip(past, 0, 7)
-        # root depth m = j - q; root pair planes are in root-side colors,
-        # swapped for the leaf iff m is odd
-        swap = ((j - q) % 2).astype(jnp.int32)
-        own_pi = (2 * q + swap)[:, :, None, None, None]
-        opp_pi = (2 * q + 1 - swap)[:, :, None, None, None]
-        own_r = jnp.take_along_axis(root_pairs, own_pi, axis=4)[..., 0]
-        opp_r = jnp.take_along_axis(root_pairs, opp_pi, axis=4)[..., 0]
-        planes.append(jnp.where(onchain, stones_j == s, own_r == 1))
-        planes.append(jnp.where(onchain, stones_j == -s, opp_r == 1))
-        past = jnp.where((idx == 0) | (past > 0), past + 1, past)
+    chain_idx = []
+    for _ in range(7):
+        chain_idx.append(idx)
         idx = jnp.take_along_axis(trees.parent, idx, axis=1)
+    a = jnp.stack(chain_idx, axis=2)  # (B, k, 7)
 
-    side_plane = jnp.broadcast_to(s, (b, k, n, n))
-    feats = jnp.stack(planes, axis=-1).astype(jnp.int8)
-    return jnp.concatenate([feats, side_plane[..., None]], axis=-1)
+    # m = first chain step that is the root slot (8 = never within 7)
+    hit = a == 0
+    m = jnp.where(hit.any(axis=2), 1 + jnp.argmax(hit, axis=2), 8)
+    m = m.astype(jnp.int32)[:, :, None]  # (B, k, 1)
+
+    chain = jnp.take_along_axis(
+        node_flat, a.reshape(b, k * 7)[:, :, None], axis=1)
+    chain = chain.reshape(b, k, 7, nn)
+
+    jr = jnp.arange(1, 8, dtype=jnp.int32)[None, None, :]  # pair offset
+    onchain = jr <= m                                       # (B, k, 7)
+    q = jr - m                                              # root pair
+    sw = m % 2
+    own_pi = jnp.clip(2 * q + sw, 0, 15)
+    opp_pi = jnp.clip(2 * q + 1 - sw, 0, 15)
+    pidx = jnp.stack([own_pi, opp_pi], axis=-1).reshape(b, k * 14)
+    rows = jnp.take_along_axis(root_t, pidx[:, :, None], axis=1)
+    rows = rows.reshape(b, k, 7, 2, nn)
+
+    s = leaf_side[:, :, None].astype(jnp.int8)              # (B, k, 1)
+    oc = onchain[..., None]                                 # (B, k, 7, 1)
+    s4 = s[:, :, None, :]
+    own = jnp.where(oc, chain == s4, rows[:, :, :, 0] == 1)
+    opp = jnp.where(oc, chain == -s4, rows[:, :, :, 1] == 1)
+
+    planes = [leaf_flat == s, leaf_flat == -s]
+    for j in range(7):
+        planes.append(own[:, :, j])
+        planes.append(opp[:, :, j])
+    feats = jnp.stack(planes, axis=-1).astype(jnp.int8)     # (B, k, nn, 16)
+    side_plane = jnp.broadcast_to(s[..., None], (b, k, nn, 1)).astype(jnp.int8)
+    feats = jnp.concatenate([feats, side_plane], axis=-1)
+    return feats.reshape(b, k, n, n, 17)
 
 
 def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
@@ -238,15 +287,22 @@ def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
     leaf_stones = flat_stones.reshape(b, k, n, n)
     legal = (~flat_illegal).reshape(b, k, -1)
 
-    feats = leaf_features(trees, leaf_p, leaf_stones, leaf_side)
-    flat_feats = feats.reshape(b * k, n, n, 17)
-    # features stay int8 through the symmetry gather (4x less HBM
-    # traffic than transforming float32); predict fns cast inputs
+    # the random D4 symmetry (reference random_symmetry_predict,
+    # symmetry.py:127-132) is fused into the feature reconstruction:
+    # the spatial permutation rides the (small) source grids inside
+    # leaf_features instead of a post-hoc gather of the full (B*k, N,
+    # N, 17) tensor; only the policy needs the inverse permutation
+    sym = None
     if use_symmetry:
-        policies, values = random_symmetry_predict(predict_fn, flat_feats,
-                                                   rng)
-    else:
-        policies, values = predict_fn(flat_feats)
+        from sejonggo_tpu.goenv.symmetry import (NUM_REFERENCE_SYMMETRIES,
+                                                 inverse_policy_switch)
+
+        sym = _draw_symmetry(rng, NUM_REFERENCE_SYMMETRIES)
+    feats = leaf_features(trees, leaf_p, leaf_stones, leaf_side, sym=sym)
+    flat_feats = feats.reshape(b * k, n, n, 17)
+    policies, values = predict_fn(flat_feats)
+    if sym is not None:
+        policies = inverse_policy_switch(policies, sym)
     policies = policies.reshape(b, k, -1)
     values = values.reshape(b, k)
     return jax.vmap(partial(_expand_backup, negamax=negamax))(

@@ -163,25 +163,19 @@ def test_trained_net_game_with_symmetry_matches_reference(
 
     import symmetry as ref_sym
 
+    import jax.numpy as jnp
+
     from sejonggo_tpu.actor import selfplay as sp_mod
-    from sejonggo_tpu.goenv.symmetry import (
-        inverse_policy_batch,
-        transform_boards_batch,
-    )
     from sejonggo_tpu.search import mcts as mcts_mod
 
     predict, variables = _train_tiny_net()
     sims, k, num_moves = 16, 4, 8
 
-    def fixed_sym_predict(predict_fn, boards, rng):
-        ids = np.ones((boards.shape[0],), np.int32)
-        p, v = predict_fn(transform_boards_batch(boards, ids))
-        return inverse_policy_batch(p, ids), v
-
     orig_sym = ref_sym.SYMMETRIES
     ref_sym.SYMMETRIES = [orig_sym[1]]  # left diagonal only
-    monkeypatch.setattr(mcts_mod, "random_symmetry_predict",
-                        fixed_sym_predict)
+    # pin ours to the same transform: symmetry id 1 on every draw
+    monkeypatch.setattr(mcts_mod, "_draw_symmetry",
+                        lambda rng, num: jnp.asarray(1, jnp.int32))
     sp_mod._make_move_step.cache_clear()
     monkeypatch.setattr(ref_sp, "MCTS_BATCH_SIZE", k)
     pyrandom.seed(0)
