@@ -22,8 +22,35 @@ Prints ONE JSON line to stdout.
 """
 from __future__ import annotations
 
+import contextlib
 import json
+import signal
+import sys
 import time
+
+
+def _log(msg: str) -> None:
+    """Progress to stderr (stdout carries only the one JSON line)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+@contextlib.contextmanager
+def _deadline(seconds: int, what: str):
+    """Hard wall-clock budget for an optional bench section: a section
+    that stalls (tunnel hiccup, pathological compile) must not eat the
+    driver's whole bench timeout — the headline JSON line must print."""
+
+    def handler(signum, frame):
+        raise TimeoutError(f"{what} exceeded {seconds}s budget")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def _timed_move_steps(move_step, state, variables, rng, n_moves, repeats=3):
@@ -148,19 +175,25 @@ def main():
                            max_nodes=82)
     net9 = NetConfig(blocks=4, filters=64, value_hidden=64,
                      compute_dtype="float32" if on_cpu else "bfloat16")
+    _log(f"9x9 headline: B={b9} sims=64 ...")
     value = _bench_search(size9, net9, search9, b9, n_moves=4)
+    _log(f"9x9 headline: {value:,.0f} env-steps/s")
 
     extras = {"sims_per_s_9x9": round(value, 1)}
 
     # ---- end-to-end continuous actor at the same operating point
     try:
-        e2e_moves, e2e_steps, fresh = _bench_e2e_continuous(
-            size9, net9, search9, b9, num_games=max(b9 // 16, 4))
+        _log("9x9 end-to-end continuous actor ...")
+        with _deadline(1200, "e2e bench"):
+            e2e_moves, e2e_steps, fresh = _bench_e2e_continuous(
+                size9, net9, search9, b9, num_games=max(b9 // 16, 4))
+        _log(f"9x9 e2e: {e2e_moves:,.0f} moves/s, fresh={fresh:.3f}")
         extras["moves_per_s_9x9_e2e"] = round(e2e_moves, 2)
         extras["env_steps_per_s_9x9_e2e"] = round(e2e_steps, 1)
         extras["e2e_fraction_of_raw"] = round(e2e_steps / value, 4)
         extras["tree_fresh_rate_9x9"] = round(fresh, 4)
     except Exception as e:  # noqa: BLE001 — report, keep headline
+        _log(f"e2e bench failed: {e}")
         extras["e2e_error"] = str(e)[:200]
 
     # ---- 19x19 reference operating point (conf.py:23,29,33,36):
@@ -175,12 +208,16 @@ def main():
                           filters=32 if on_cpu else 256,
                           value_hidden=32 if on_cpu else 256,
                           compute_dtype="float32" if on_cpu else "bfloat16")
-        v19 = _bench_search(size19, net19, search19, b19, n_moves=1,
-                            repeats=2)
+        _log(f"19x19 reference point: B={b19} sims={sims19} ...")
+        with _deadline(1500, "19x19 bench"):
+            v19 = _bench_search(size19, net19, search19, b19, n_moves=1,
+                                repeats=2)
+        _log(f"19x19: {v19:,.0f} env-steps/s")
         extras["env_steps_per_s_19x19"] = round(v19, 1)
         extras["sims_per_s_19x19"] = round(v19, 1)
         extras["moves_per_s_19x19"] = round(v19 / sims19, 3)
     except Exception as e:  # noqa: BLE001
+        _log(f"19x19 bench failed: {e}")
         extras["bench_19x19_error"] = str(e)[:200]
 
     baseline = 100_000.0  # BASELINE.json north star, env-steps/s/chip

@@ -406,48 +406,98 @@ def _advance_root(tree: Tree, action, new_root_board, reserve: int = 0):
     rather than (as before) wholesale invalidation of the reused tree.
     """
     c = tree.parent.shape[0]
+    a_dim = tree.node_P.shape[-1]
+    nn = tree.node_stones.shape[-1] * tree.node_stones.shape[-2]
     budget = c - reserve  # static
     new_root = tree.child_idx[0, action]
     valid = new_root >= 0 if budget >= 1 else jnp.asarray(False)
     nr = jnp.maximum(new_root, 0)
 
     idxs = jnp.arange(c, dtype=jnp.int32)
-    keep = idxs == nr
-    anc = tree.parent
-    for _ in range(max(1, math.ceil(math.log2(max(c, 2)))) + 1):
-        keep = keep | keep[anc]
-        anc = anc[anc]
+    # keep[i] = "nr is an ancestor of i (or i itself)".  Computed as a
+    # transitive closure by repeated squaring of the parent one-hot
+    # relation on the MXU: R starts as (parent edge | identity) and
+    # R <- clamp(R @ R) doubles the reachable path length each step.
+    # Entries are 0/1 after every clamp and intermediate sums are small
+    # integers (< C), all exact in bf16 — pointer-chasing this with
+    # per-element gathers is ~10x slower on TPU (measured).
+    par_oh = (tree.parent[:, None] == idxs[None, :]) | (
+        idxs[:, None] == idxs[None, :])
+    reach = par_oh.astype(jnp.bfloat16)
+    for _ in range(max(1, math.ceil(math.log2(max(c, 2))))):
+        reach = (jax.lax.dot_general(
+            reach, reach, (((1,), (0,)), ((), ()))) > 0).astype(jnp.bfloat16)
+    keep = reach[:, nr] > 0
 
     rank = (jnp.cumsum(keep) - 1).astype(jnp.int32)
     # truncate: the new root nr has the smallest surviving index (its
     # descendants were all allocated later), so it is always rank 0
     keep = keep & (rank < max(budget, 1))
     new_idx = rank
-    order = jnp.argsort(jnp.where(keep, idxs, c + idxs))
     n_new = jnp.sum(keep).astype(jnp.int32)
     live = idxs < n_new
 
-    def g(arr):
-        return arr[order]
+    # Compaction runs on the MXU: per-node payloads ride a single
+    # (C, ~5A) f32 concat, multiplied by the one-hot permutation matrix
+    # P[new, old] = keep[old] & (rank[old] == new).  A one-hot matmul
+    # selects exactly one term per output, so it is EXACT for every
+    # carried value at 3-pass f32 precision (counts < 2^24, indices
+    # < C, stones in {-1,0,1}, priors/values f32; bf16x3 splits an f32
+    # mantissa exactly) — and it replaces the short-row gather +
+    # argsort that dominated re-rooting cost on TPU.  child_idx is
+    # RECONSTRUCTED by scattering each live node into its parent's edge
+    # instead of relabeling the whole (C, A) table through a
+    # per-element gather (~10x the rest of re-rooting, measured).
+    perm = (jnp.where(keep, rank, -1)[None, :] == idxs[:, None]).astype(
+        jnp.float32)  # (C_new, C_old) one-hot rows
+    wide = jnp.concatenate([
+        tree.node_P,
+        tree.child_N.astype(jnp.float32),
+        tree.child_W,
+        tree.node_legal.astype(jnp.float32),
+        tree.node_stones.reshape(c, nn).astype(jnp.float32),
+        tree.node_side.astype(jnp.float32)[:, None],
+        tree.parent.astype(jnp.float32)[:, None],
+        tree.parent_action.astype(jnp.float32)[:, None],
+    ], axis=1)
+    wide = jax.lax.dot_general(
+        perm, wide, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    off = 0
+    node_P = wide[:, off:off + a_dim]
+    off += a_dim
+    child_N = wide[:, off:off + a_dim].astype(jnp.int32)
+    off += a_dim
+    child_W = wide[:, off:off + a_dim]
+    off += a_dim
+    node_legal = wide[:, off:off + a_dim] != 0
+    off += a_dim
+    node_stones = wide[:, off:off + nn].astype(jnp.int8).reshape(
+        tree.node_stones.shape)
+    off += nn
+    node_side = wide[:, off].astype(jnp.int8)
+    parent_old = wide[:, off + 1].astype(jnp.int32)
+    pa = wide[:, off + 2].astype(jnp.int32)
 
-    ci = g(tree.child_idx)
-    ci_rank = new_idx[jnp.maximum(ci, 0)]
-    # a live node's expanded child is always a descendant of nr (in the
-    # pre-truncation keep set), so its rank is exact; rank >= n_new
-    # means the child was truncated -> edge reverts to unexpanded
-    ci = jnp.where((ci >= 0) & live[:, None] & (ci_rank < n_new),
-                   ci_rank, -1)
-    par = jnp.where(live, new_idx[g(tree.parent)], 0).at[0].set(0)
-    pa = jnp.where(live, g(tree.parent_action), -1).at[0].set(-1)
+    par = jnp.where(live, new_idx[parent_old], 0).at[0].set(0)
+    pa = jnp.where(live, pa, -1).at[0].set(-1)
+
+    # child_idx from (parent, action) of each live non-root node; edges
+    # whose child was truncated stay -1 (stats above are kept, so the
+    # next decision's PUCT still sees them and re-expands on demand)
+    scatter_ok = live & (idxs > 0)
+    ci = jnp.full((c, a_dim), -1, jnp.int32)
+    ci = ci.at[jnp.where(scatter_ok, par, 0),
+               jnp.where(scatter_ok, pa, a_dim)].set(idxs, mode="drop")
 
     out = Tree(
         root_board=new_root_board.astype(jnp.int8),
-        node_stones=g(tree.node_stones),
-        node_side=g(tree.node_side),
-        node_P=jnp.where(live[:, None], g(tree.node_P), 0.0),
-        node_legal=g(tree.node_legal) & live[:, None],
-        child_N=jnp.where(live[:, None], g(tree.child_N), 0),
-        child_W=jnp.where(live[:, None], g(tree.child_W), 0.0),
+        node_stones=node_stones,
+        node_side=node_side,
+        node_P=jnp.where(live[:, None], node_P, 0.0),
+        node_legal=node_legal & live[:, None],
+        child_N=jnp.where(live[:, None], child_N, 0),
+        child_W=jnp.where(live[:, None], child_W, 0.0),
         child_idx=ci,
         parent=par,
         parent_action=pa,
