@@ -314,8 +314,24 @@ def run_search(trees: Tree, predict_fn: Callable, rng, *, simulations: int,
                batch_size: int, c_puct: float = 1.0, negamax: bool = False,
                use_symmetry: bool = False):
     """simulations/batch_size rounds (reference mcts_decision
-    self_play.py:128-132)."""
+    self_play.py:128-132).
+
+    Few rounds are UNROLLED: freeing XLA from the fori_loop's uniform
+    loop-carried buffer layout lets it fuse/overlap across round
+    boundaries — measured 212ms -> 155ms for the 4-round 9x9 bench
+    point on v5e.  Many-round configs (19x19: 16 rounds of a 20-block
+    net) keep the fori_loop to bound compile time; they are
+    network-dominated, where the loop overhead is noise.
+    """
     rounds = simulations // batch_size
+
+    if rounds <= 8:
+        for _ in range(rounds):
+            rng, sub = jax.random.split(rng)
+            trees = simulate_round(
+                trees, predict_fn, sub, batch_size=batch_size,
+                c_puct=c_puct, negamax=negamax, use_symmetry=use_symmetry)
+        return trees
 
     def body(_, carry):
         trees, rng = carry
