@@ -117,6 +117,17 @@ class Pipeline:
         # reference always archives self-play games (sgfsave.py:49-79);
         # here opt-in: the replay buffer is the primary store
         self.archive_selfplay = False
+        # 'sgf', 'h5' (reference game_%05d/move_%03d/sample.h5 layout),
+        # or 'both'
+        self.archive_format = "sgf"
+        self._archive_counts = {}  # per-model archived-game counters
+        # split-role selfplay->train data path (reference scp push per
+        # game, selfplay_worker.py:123-124): selfplay role publishes one
+        # replay segment per phase here; train role ingests new ones
+        self.segment_dir = os.path.join(workdir, "replay_segments")
+        self._segment_games = None     # per-phase accumulator (selfplay role)
+        self._segment_seq = None       # next segment index (lazy-scanned)
+        self._ingested_segments = set()  # consumed files (train role)
 
     def _split(self):
         self.rng, sub = jax.random.split(self.rng)
@@ -188,17 +199,24 @@ class Pipeline:
             mesh=self.actor_mesh, mesh_axis=self.mesh_axis)
 
         moves = 0
-        archived = 0
+        # archive game index continues across phases of the same model
+        # (the reference numbers game dirs monotonically per model dir)
+        archived = self._archive_counts.get(best, 0)
 
         def on_game(game):
             nonlocal moves, archived
             self.calibrator.observe_game(game)
             moves += self.replay.add_game(game)
+            if self._segment_games is not None:
+                from sejonggo_tpu.learn import game_samples
+
+                self._segment_games.append(game_samples(game))
             if self.archive_selfplay:
                 self._archive_game(game, best, archived)
                 archived += 1
 
         actor.run(n, on_game=on_game)
+        self._archive_counts[best] = archived
         dt = time.time() - t0
         sims = moves * cfg.search.simulations
         stats = {
@@ -217,10 +235,25 @@ class Pipeline:
 
     def _archive_game(self, game: dict, model_name: str, game_n: int) -> None:
         """Reference-compatible archival of one finished game: SGF with
-        per-move value comments (sgfsave.py:130-167 layout)."""
+        per-move value comments (sgfsave.py:130-167 layout) and/or the
+        reference's per-move HDF5 training-sample tree
+        game_%05d/move_%03d/sample.h5 (sgfsave.py:49-79), so reference
+        tooling can consume this build's games."""
         from sejonggo_tpu.io.sgf import divmod_xy, game_to_sgf
 
         size = self.cfg.go.size
+        if self.archive_format in ("h5", "both"):
+            from sejonggo_tpu.io.h5data import save_move_sample
+            from sejonggo_tpu.learn import game_samples
+
+            boards, policies, values = game_samples(game)
+            base = os.path.join(self.workdir, self.cfg.selfplay_dir,
+                                model_name, f"game_{game_n:05d}")
+            for m in range(boards.shape[0]):
+                save_move_sample(os.path.join(base, f"move_{m:03d}"),
+                                 boards[m], policies[m], values[m])
+        if self.archive_format not in ("sgf", "both"):
+            return
         moves = [(int(p), *divmod_xy(int(a), size))
                  for p, a in zip(game["players"], game["actions"])]
         w = int(game["resign_winner"])
@@ -236,6 +269,57 @@ class Pipeline:
         with open(os.path.join(d, f"game_{game_n:05d}.sgf"), "w") as f:
             f.write(game_to_sgf(size, self.cfg.go.komi, moves, result,
                                 values=list(map(float, game["values"]))))
+
+    # --- split-role selfplay->train data path (reference pushes every
+    # finished game to the training server over scp as it completes,
+    # selfplay_worker.py:123-124, scpy.py:68-107; here the selfplay role
+    # publishes one atomic replay segment per phase and the train role
+    # ingests new ones each iteration over the shared workdir) ----------
+
+    def _publish_segment(self) -> Optional[str]:
+        """Write the games accumulated this phase as one atomic replay
+        segment under `segment_dir`; returns the path (None if no
+        moves were produced)."""
+        from sejonggo_tpu.learn import save_segment
+
+        games = [g for g in (self._segment_games or []) if g[0].shape[0]]
+        self._segment_games = []
+        if not games:
+            return None
+        os.makedirs(self.segment_dir, exist_ok=True)
+        prefix = f"seg_p{jax.process_index()}_"
+        if self._segment_seq is None:
+            existing = [int(f[len(prefix):-4])
+                        for f in os.listdir(self.segment_dir)
+                        if f.startswith(prefix) and f.endswith(".npz")]
+            self._segment_seq = max(existing, default=-1) + 1
+        path = os.path.join(self.segment_dir,
+                            f"{prefix}{self._segment_seq:06d}.npz")
+        self._segment_seq += 1
+        save_segment(path,
+                     np.concatenate([g[0] for g in games]),
+                     np.concatenate([g[1] for g in games]),
+                     np.concatenate([g[2] for g in games]))
+        return path
+
+    def ingest_segments(self) -> int:
+        """Train-role ingestion: load every replay segment not yet
+        consumed into the replay window; returns moves added.  Segments
+        are written atomically (tmp + os.replace) so a concurrent read
+        never sees a torn file."""
+        from sejonggo_tpu.learn import load_segment
+
+        if not os.path.isdir(self.segment_dir):
+            return 0
+        added = 0
+        for fname in sorted(os.listdir(self.segment_dir)):
+            if not fname.endswith(".npz") or fname in self._ingested_segments:
+                continue
+            boards, policies, values = load_segment(
+                os.path.join(self.segment_dir, fname))
+            added += self.replay.add_samples(boards, policies, values)
+            self._ingested_segments.add(fname)
+        return added
 
     def train_phase(self) -> dict:
         """Train the latest model on the replay window and save
@@ -401,10 +485,11 @@ class Pipeline:
                 "current": self.calibrator.current,
             },
         }
-        with open(os.path.join(
-                self.workdir,
-                f"run_state{self._run_state_suffix}.json"), "w") as f:
+        meta_path = os.path.join(
+            self.workdir, f"run_state{self._run_state_suffix}.json")
+        with open(meta_path + ".tmp", "w") as f:
             json.dump(meta, f)
+        os.replace(meta_path + ".tmp", meta_path)
 
     def load_run_state(self) -> bool:
         import json
@@ -450,18 +535,25 @@ class Pipeline:
         self.init_models()
         i = 0
         while iterations == 0 or i < iterations:
+            self._segment_games = []
             self.selfplay_phase(selfplay_games)
+            self._publish_segment()
             self.save_run_state()
             i += 1
 
     def run_train_role(self, iterations: int = 0):
-        """Training server: train whenever the replay has data
-        (reference main_training.py's continuous fit loop)."""
+        """Training server: continuously ingest replay segments
+        published by selfplay-role processes and train (the reference's
+        training server keeps receiving games pushed per-game over scp,
+        selfplay_worker.py:123-124; the run-state snapshot is the
+        fallback when no segments exist)."""
         self.init_models()
         i = 0
         while iterations == 0 or i < iterations:
+            self.ingest_segments()
             if len(self.replay) < self.cfg.train.batch_size:
-                self.load_run_state()
+                if not self._ingested_segments:
+                    self.load_run_state()
                 if len(self.replay) < self.cfg.train.batch_size:
                     time.sleep(1.0)
                     continue
@@ -473,7 +565,9 @@ class Pipeline:
         self.init_models()
         i = 0
         while iterations == 0 or i < iterations:
+            self._segment_games = []
             self.selfplay_phase(selfplay_games)
+            self._publish_segment()
             self.evaluate_phase()
             self.save_run_state()
             i += 1

@@ -325,7 +325,9 @@ def run_search(trees: Tree, predict_fn: Callable, rng, *, simulations: int,
     """
     rounds = simulations // batch_size
 
-    if rounds <= 8:
+    # unrolling needs concrete Python ints (ADVICE r2: `rounds <= 8` /
+    # `range(rounds)` fail on tracers); traced bounds take the fori_loop
+    if isinstance(rounds, int) and rounds <= 8:
         for _ in range(rounds):
             rng, sub = jax.random.split(rng)
             trees = simulate_round(
