@@ -6,6 +6,8 @@ engine (play.py) bit for bit.  This is the harness behind the
 fixed-seed trajectory-match goal (BASELINE.md).  Skipped when the
 reference checkout is absent.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -137,6 +139,27 @@ def test_capture_heavy_game_matches_reference(reference_play, batched_engine,
     assert int(ref_winner) == int(our_winner)
     assert float(ref_black) == float(our_black)
     assert float(ref_white) == float(our_white)
+
+
+def test_engine_vs_reference_19x19():
+    """Differential parity at the reference's PRODUCTION size
+    (conf.py:33 SIZE:19): contact-biased fuzz games to a scoring end,
+    legality + all 17 planes + final score bit-exact every move.  Runs
+    in a subprocess because the reference pins SIZE at import
+    (play.py:14) and this pytest process imported it at 9
+    (tests/_ref19_worker.py, pattern of tests/_mh_worker.py)."""
+    import subprocess
+    import sys as _sys
+
+    worker = os.path.join(os.path.dirname(__file__), "_ref19_worker.py")
+    proc = subprocess.run(
+        [_sys.executable, worker, "0,1,2", "500"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, (
+        f"19x19 differential worker failed:\n{proc.stdout}\n{proc.stderr}")
+    assert "REF19_OK" in proc.stdout
 
 
 KO_SEQUENCE = [39, 40, 31, 32, 49, 50, 10, 42, 41]  # B then W alternating;
