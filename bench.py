@@ -155,13 +155,13 @@ def main():
 
     from sejonggo_tpu.config import NetConfig, SearchConfig
 
-    # fused Pallas flood-fill for the env/search capture+legality
-    # fixpoints — now on the real hot path (search leaf stepping goes
-    # through engine.step_stones_batch / _flood_b)
+    # production TPU kernel set: fused Pallas step+legality on the
+    # search leaf path + flood fixpoint for scoring/root legality
+    # (A/B-measured best config, scripts/ab_gostep.py)
     if jax.default_backend() != "cpu":
-        from sejonggo_tpu.ops import enable_pallas_flood
+        from sejonggo_tpu.ops import enable_tpu_kernels
 
-        enable_pallas_flood(True)
+        enable_tpu_kernels(True)
 
     on_cpu = jax.default_backend() == "cpu"
 
@@ -197,25 +197,73 @@ def main():
         extras["e2e_error"] = str(e)[:200]
 
     # ---- 19x19 reference operating point (conf.py:23,29,33,36):
-    # 20 blocks x 256 filters, 1600 sims/move in 100-leaf NN batches
+    # 20 blocks x 256 filters, 1600 sims/move in 100-leaf NN batches.
+    # max_nodes = sims + 618 reuse budget: the chosen child's subtree
+    # (typically 40-70% of 1600 sims) survives re-rooting mostly intact
+    # instead of being truncated to 18 stats-only slots — real tree
+    # reuse at the reference point (VERDICT r2 item 4); the re-root
+    # survivor mask uses the O(C log C) pointer-doubling path at this
+    # capacity (search.mcts._keep_subtree_doubling).
     try:
         size19 = 19
         b19 = 2 if on_cpu else 16
         sims19 = 100 if on_cpu else 1600
         search19 = SearchConfig(simulations=sims19, batch_size=100,
-                                use_symmetry=True, max_nodes=sims19 + 18)
+                                use_symmetry=True,
+                                max_nodes=sims19 + (18 if on_cpu else 618))
         net19 = NetConfig(blocks=2 if on_cpu else 20,
                           filters=32 if on_cpu else 256,
                           value_hidden=32 if on_cpu else 256,
                           compute_dtype="float32" if on_cpu else "bfloat16")
         _log(f"19x19 reference point: B={b19} sims={sims19} ...")
-        with _deadline(1500, "19x19 bench"):
+        with _deadline(1200, "19x19 bench"):
             v19 = _bench_search(size19, net19, search19, b19, n_moves=1,
                                 repeats=2)
         _log(f"19x19: {v19:,.0f} env-steps/s")
         extras["env_steps_per_s_19x19"] = round(v19, 1)
         extras["sims_per_s_19x19"] = round(v19, 1)
         extras["moves_per_s_19x19"] = round(v19 / sims19, 3)
+
+        # end-to-end continuous actor at 19x19 over a fixed step window
+        # (whole games are minutes long here): device step + host
+        # harvest + replay, plus reuse telemetry — surviving nodes per
+        # re-root and the fresh-tree rate (VERDICT r2 item 4)
+        if not on_cpu:
+            import jax.numpy as jnp
+            import numpy as np
+
+            from sejonggo_tpu.actor.continuous import ContinuousSelfPlay
+            from sejonggo_tpu.learn import ReplayBuffer
+            from sejonggo_tpu.nets import (AZNet, init_variables,
+                                           make_predict_fn)
+
+            _log("19x19 end-to-end continuous window ...")
+            with _deadline(1200, "19x19 e2e bench"):
+                net = AZNet.from_config(size19, net19)
+                variables = init_variables(net, jax.random.PRNGKey(0))
+                actor = ContinuousSelfPlay(
+                    make_predict_fn(net), variables, size=size19, komi=6.5,
+                    search=search19, game_batch=b19, stop_exploration=30,
+                    rng=jax.random.PRNGKey(0))
+                replay = ReplayBuffer(50_000, size19)
+                actor.run(num_games=b19 + 1, max_steps=3,
+                          on_game=replay.add_game)  # compile + warm
+                m0, f0 = actor.moves_recorded, actor.fresh_trees
+                t0 = time.perf_counter()
+                actor.run(num_games=b19 + 1, max_steps=20,
+                          on_game=replay.add_game)
+                dt = time.perf_counter() - t0
+                moves = actor.moves_recorded - m0
+                e2e19 = moves * sims19 / dt
+                fresh19 = (actor.fresh_trees - f0) / max(moves, 1)
+                reused = float(jnp.mean(
+                    actor.state[1].n_nodes.astype(jnp.float32)))
+            _log(f"19x19 e2e: {e2e19:,.0f} env-steps/s, fresh={fresh19:.3f},"
+                 f" reused_nodes={reused:.0f}")
+            extras["env_steps_per_s_19x19_e2e"] = round(e2e19, 1)
+            extras["e2e_fraction_19x19"] = round(e2e19 / v19, 4)
+            extras["tree_fresh_rate_19x19"] = round(fresh19, 4)
+            extras["reused_nodes_per_move_19x19"] = round(reused, 1)
     except Exception as e:  # noqa: BLE001
         _log(f"19x19 bench failed: {e}")
         extras["bench_19x19_error"] = str(e)[:200]

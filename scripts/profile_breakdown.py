@@ -1,0 +1,224 @@
+"""Component cost breakdown of the 9x9 headline move step + a real
+jax profiler trace artifact.
+
+VERDICT r2 Weak #2: the 9x9 point runs at ~15% of v5e bf16 peak and
+nobody knew the breakdown — every further 9x9 optimization was blind.
+This script:
+
+1. wraps a timed bench window in utils.metrics.profile_trace (the
+   profiler hook that previously had zero call sites), producing a real
+   XProf trace under --trace-dir;
+2. times the move step's components as separately-jitted calls at the
+   exact bench operating point (B=2048, 4-round search, 16-leaf
+   batches) and prints a cost table: network, env step+legality, leaf
+   feature reconstruction, expand/backup+select (residual of a search
+   round), re-rooting, fresh trees, decision.
+
+Writes PROFILE_9x9.md next to the repo root when --out is given.
+
+Run: python scripts/profile_breakdown.py [--trace-dir runs/trace_9x9]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timeit(fn, *args, repeats=5, inner=1):
+    """Median wall time of fn(*args) with a device sync each window."""
+    import jax
+
+    out = fn(*args)  # compile
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / inner)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace-dir", default="runs/trace_9x9")
+    ap.add_argument("--out", default=None, help="write PROFILE_9x9.md here")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="game batch (0 = bench default)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _bench_search
+    from sejonggo_tpu.config import NetConfig, SearchConfig
+    from sejonggo_tpu.goenv import engine
+    from sejonggo_tpu.nets import AZNet, init_variables, make_predict_fn
+    from sejonggo_tpu.ops import enable_tpu_kernels
+    from sejonggo_tpu.search import (advance_root_batch, decide_batch,
+                                     new_tree_batch, run_search)
+    from sejonggo_tpu.search.mcts import leaf_features, simulate_round
+    from sejonggo_tpu.utils.metrics import profile_trace
+
+    on_cpu = jax.default_backend() == "cpu"
+    if not on_cpu:
+        enable_tpu_kernels(True)
+
+    # the bench 9x9 operating point (bench.py main)
+    size = 9
+    b = args.batch or (64 if on_cpu else 2048)
+    k = 16
+    sims = 64
+    search = SearchConfig(simulations=sims, batch_size=k,
+                          use_symmetry=True, max_nodes=82)
+    net_cfg = NetConfig(blocks=4, filters=64, value_hidden=64,
+                        compute_dtype="float32" if on_cpu else "bfloat16")
+    net = AZNet.from_config(size, net_cfg)
+    variables = init_variables(net, jax.random.PRNGKey(0))
+    predict = make_predict_fn(net)
+    a_dim = size * size + 1
+
+    boards = jnp.stack([engine.init_board(size)] * b)
+    policies0 = jnp.zeros((b, a_dim), jnp.float32)
+
+    # a mid-game tree state: run one full decision so components see
+    # realistic node counts
+    trees0 = new_tree_batch(policies0, boards, search.capacity())
+    searched = jax.jit(lambda t: run_search(
+        t, lambda x: predict(variables, x), jax.random.PRNGKey(1),
+        simulations=sims, batch_size=k, use_symmetry=True))(trees0)
+    jax.block_until_ready(searched)
+
+    rows = {}
+
+    # --- full move step (the benched unit) ---------------------------
+    def full_window():
+        return _bench_search(size, net_cfg, search, b, n_moves=4, repeats=3)
+
+    env_steps_per_s = full_window()
+    move_ms = b * sims / env_steps_per_s * 4 / 4 * 1000 / sims * sims  # per move
+    move_ms = b * sims / env_steps_per_s * 1000  # ms per move (all B games)
+    rows["full move_step (B games x 1 move)"] = move_ms
+
+    # --- network: 4 rounds x (B*k) leaf evals + 1 root eval ----------
+    feats = jnp.zeros((b * k, size, size, 17), jnp.float32)
+    net_j = jax.jit(lambda v, x: predict(v, x))
+    t_net = _timeit(net_j, variables, feats)
+    rows["network (B*k leaf batch) x4 rounds"] = t_net * 4 * 1000
+    root_feats = jnp.zeros((b, size, size, 17), jnp.float32)
+    t_root = _timeit(net_j, variables, root_feats)
+    rows["network (B root batch) x1"] = t_root * 1000
+
+    # --- env: fused step+legality on (B*k) stone grids x4 rounds -----
+    stones = jnp.zeros((b * k, size, size), jnp.int8)
+    sides = jnp.ones((b * k,), jnp.int8)
+    actions = jnp.arange(b * k, dtype=jnp.int32) % (a_dim - 1)
+    env_j = jax.jit(engine.step_and_illegal_stones_batch)
+    t_env = _timeit(env_j, stones, sides, actions)
+    rows["env step+legality (B*k) x4 rounds"] = t_env * 4 * 1000
+
+    # --- leaf feature reconstruction x4 rounds ------------------------
+    leaf_p = jnp.zeros((b, k), jnp.int32)
+    leaf_stones = jnp.zeros((b, k, size, size), jnp.int8)
+    leaf_side = jnp.ones((b, k), jnp.int8)
+    lf_j = jax.jit(lambda t, p, s, sd: leaf_features(t, p, s, sd, sym=None))
+    t_lf = _timeit(lf_j, searched, leaf_p, leaf_stones, leaf_side)
+    rows["leaf features (B,k) x4 rounds"] = t_lf * 4 * 1000
+
+    # --- one full search round (net+env+features+select+backup) ------
+    sr_j = jax.jit(lambda t, r: simulate_round(
+        t, lambda x: predict(variables, x), r, batch_size=k,
+        use_symmetry=True))
+    t_round = _timeit(sr_j, trees0, jax.random.PRNGKey(2))
+    rows["simulate_round x4 (full search)"] = t_round * 4 * 1000
+
+    # --- re-rooting (advance_root_batch at max_nodes=82) -------------
+    acts = jnp.argmax(searched.child_N[:, 0], axis=-1).astype(jnp.int32)
+    new_boards = jax.jit(engine.step_batch)(boards, acts)
+    adv_j = jax.jit(lambda t, a, nb: advance_root_batch(
+        t, a, nb, reserve=sims))
+    t_adv = _timeit(adv_j, searched, acts, new_boards)
+    rows["advance_root (re-rooting) x1"] = t_adv * 1000
+
+    # --- fresh tree construction x1 ----------------------------------
+    nt_j = jax.jit(lambda p, bd: new_tree_batch(
+        p, bd, search.capacity(), rng=jax.random.PRNGKey(3)))
+    t_nt = _timeit(nt_j, policies0, boards)
+    rows["new_tree_batch x1"] = t_nt * 1000
+
+    # --- decision + policy targets x1 ---------------------------------
+    dec_j = jax.jit(lambda t: decide_batch(
+        t, jnp.zeros((b,), bool), jax.random.PRNGKey(4)))
+    t_dec = _timeit(dec_j, searched)
+    rows["decide_batch x1"] = t_dec * 1000
+
+    # --- board-level env step x1 (move application) -------------------
+    sb_j = jax.jit(engine.step_batch)
+    t_sb = _timeit(sb_j, boards, acts)
+    rows["board step_batch x1"] = t_sb * 1000
+
+    # --- trace artifact ------------------------------------------------
+    os.makedirs(args.trace_dir, exist_ok=True)
+    with profile_trace(args.trace_dir):
+        sr_out = sr_j(trees0, jax.random.PRNGKey(5))
+        jax.block_until_ready(sr_out)
+    trace_files = sum(len(fs) for _, _, fs in os.walk(args.trace_dir))
+
+    # --- report ---------------------------------------------------------
+    lines = [
+        "# 9x9 move-step cost breakdown (v5e, bench operating point)",
+        "",
+        f"B={b} games, {sims} sims/move in {sims//k} rounds of k={k}, "
+        f"4-block x64 net, bf16, Pallas gostep+flood on.",
+        f"Raw throughput this run: **{env_steps_per_s:,.0f} env-steps/s** "
+        f"(move = {move_ms:.1f} ms for all {b} games).",
+        "",
+        "| component (per move) | ms | % of move |",
+        "|---|---|---|",
+    ]
+    for name, ms in rows.items():
+        lines.append(f"| {name} | {ms:.2f} | {100*ms/move_ms:.1f}% |")
+    accounted = (rows["simulate_round x4 (full search)"]
+                 + rows["advance_root (re-rooting) x1"]
+                 + rows["new_tree_batch x1"]
+                 + rows["decide_batch x1"]
+                 + rows["board step_batch x1"]
+                 + rows["network (B root batch) x1"])
+    lines += [
+        "",
+        f"Search (4 rounds) + re-root + fresh-tree + decide + root eval "
+        f"+ board step = {accounted:.1f} ms vs {move_ms:.1f} ms measured "
+        f"move — residual {move_ms-accounted:.1f} ms is per-call overlap "
+        "lost when components are timed in isolation (dispatch + "
+        "unfused boundaries).",
+        "",
+        f"Inside a search round: network {rows['network (B*k leaf batch) x4 rounds']:.1f} ms, "
+        f"env {rows['env step+legality (B*k) x4 rounds']:.1f} ms, "
+        f"leaf features {rows['leaf features (B,k) x4 rounds']:.1f} ms "
+        f"(x4-round totals); the rest of "
+        f"{rows['simulate_round x4 (full search)']:.1f} ms is PUCT "
+        "select/walk + expand/backup (tree pointer work).",
+        "",
+        f"Trace artifact: {args.trace_dir} ({trace_files} files) — "
+        "view with xprof/TensorBoard.  Produced via "
+        "utils.metrics.profile_trace around one jitted search round.",
+    ]
+    report = "\n".join(lines)
+    print(report)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(report + "\n")
+    print(json.dumps({"env_steps_per_s": round(env_steps_per_s, 1),
+                      "move_ms": round(move_ms, 2),
+                      **{k_: round(v, 3) for k_, v in rows.items()}}))
+
+
+if __name__ == "__main__":
+    main()

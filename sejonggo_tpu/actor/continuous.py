@@ -261,14 +261,16 @@ class ContinuousSelfPlay:
         }
 
     def run(self, num_games: int, thresholds_fn=None, on_game=None,
-            keep_empty: bool = False):
+            keep_empty: bool = False, max_steps: Optional[int] = None):
         """Play until `num_games` finish; returns finished-game dicts.
 
         Each game dict carries stacked per-move arrays (boards,
         policies, values, actions, players) plus scalar outcome fields.
         thresholds_fn(b) -> (B,) per-step override of the per-game
         thresholds (NaN = off); on_game(game) called per completion.
-        """
+        max_steps bounds the DEVICE steps taken this call regardless of
+        completions (fixed-window benchmarking at operating points where
+        whole games are minutes long, e.g. 19x19/1600-sims)."""
         finished = []
         pending = None  # previous step's device-side record (1-step lag:
         # the next step is dispatched BEFORE the previous record is
@@ -300,7 +302,9 @@ class ContinuousSelfPlay:
                     on_game(game)
             self._gstep += 1
 
-        while len(finished) < num_games:
+        first_step = self.steps
+        while len(finished) < num_games and (
+                max_steps is None or self.steps - first_step < max_steps):
             if thresholds_fn is not None:
                 thr = jnp.asarray(thresholds_fn(self.b), jnp.float32)
             else:

@@ -94,6 +94,10 @@ def save_gamebatch_sgfs(gb, *, size: int, komi: float, outdir: str,
 def duel(a: str, b: str, *, cfg: Config, model_dir: str, games: int,
          seed: int = 0, max_moves: Optional[int] = None,
          sgf_dir: Optional[str] = None) -> dict:
+    if jax.default_backend() not in ("cpu",):
+        from sejonggo_tpu.ops import enable_tpu_kernels
+
+        enable_tpu_kernels(True)
     predict_a, vars_a = _resolve(a, cfg, model_dir)
     predict_b, vars_b = _resolve(b, cfg, model_dir)
     eval_cfg = cfg.eval.__class__(num_games=games, margin=0.5)

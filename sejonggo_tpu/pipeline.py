@@ -78,6 +78,11 @@ class Pipeline:
 
         self.cfg = cfg
         self.workdir = workdir
+        if jax.default_backend() not in ("cpu",):
+            # production TPU kernel set (A/B-measured, scripts/ab_gostep.py)
+            from sejonggo_tpu.ops import enable_tpu_kernels
+
+            enable_tpu_kernels(True)
         self.store = CheckpointStore(os.path.join(workdir, cfg.model_dir))
         self.net = AZNet.from_config(cfg.go.size, cfg.net)
         self.predict = make_predict_fn(self.net)

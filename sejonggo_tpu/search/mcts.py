@@ -395,6 +395,45 @@ def policy_target_batch(trees: Tree, mode: str = "prior"):
     return counts / total
 
 
+def _keep_subtree_closure(parent, nr):
+    """keep[i] = "nr is an ancestor of i (or i itself)" via transitive
+    closure by repeated squaring of the parent one-hot relation on the
+    MXU: R starts as (parent edge | identity) and R <- clamp(R @ R)
+    doubles the reachable path length each step.  Entries are 0/1 after
+    every clamp and intermediate sums are small integers (< C), all
+    exact in bf16.  Right for SMALL capacities (9x9-class, C <= ~512)
+    where per-element pointer-chasing is latency-bound and slower
+    (measured on v5e at C=146)."""
+    c = parent.shape[0]
+    idxs = jnp.arange(c, dtype=jnp.int32)
+    par_oh = (parent[:, None] == idxs[None, :]) | (
+        idxs[:, None] == idxs[None, :])
+    reach = par_oh.astype(jnp.bfloat16)
+    for _ in range(max(1, math.ceil(math.log2(max(c, 2))))):
+        reach = (jax.lax.dot_general(
+            reach, reach, (((1,), (0,)), ((), ()))) > 0).astype(jnp.bfloat16)
+    return reach[:, nr] > 0
+
+
+def _keep_subtree_doubling(parent, nr):
+    """Same mask via pointer doubling on the keep VECTOR:
+    keep <- keep | keep[anc], anc <- anc[anc].  O(C log C) gather work
+    instead of the closure's O(C^3 log C) MXU work (which computes the
+    whole reachability matrix for a single used column) — the only
+    viable choice at 19x19-class reuse capacities (at C=2218 the
+    closure would be ~4 TFLOP per B=16 re-root).  Correctness: after t
+    iterations keep covers ancestors within distance 2^t and anc jumps
+    2^t levels (parent[0] == 0 parks chains at the root), so log2(C)
+    iterations cover any chain."""
+    c = parent.shape[0]
+    keep = jnp.arange(c, dtype=jnp.int32) == nr
+    anc = parent
+    for _ in range(max(1, math.ceil(math.log2(max(c, 2))))):
+        keep = keep | keep[anc]
+        anc = anc[anc]
+    return keep
+
+
 def _advance_root(tree: Tree, action, new_root_board, reserve: int = 0):
     """Re-root the tree at child `action` (reference tree reuse,
     self_play.py:224-238: step into the chosen child and cut the
@@ -432,20 +471,12 @@ def _advance_root(tree: Tree, action, new_root_board, reserve: int = 0):
     nr = jnp.maximum(new_root, 0)
 
     idxs = jnp.arange(c, dtype=jnp.int32)
-    # keep[i] = "nr is an ancestor of i (or i itself)".  Computed as a
-    # transitive closure by repeated squaring of the parent one-hot
-    # relation on the MXU: R starts as (parent edge | identity) and
-    # R <- clamp(R @ R) doubles the reachable path length each step.
-    # Entries are 0/1 after every clamp and intermediate sums are small
-    # integers (< C), all exact in bf16 — pointer-chasing this with
-    # per-element gathers is ~10x slower on TPU (measured).
-    par_oh = (tree.parent[:, None] == idxs[None, :]) | (
-        idxs[:, None] == idxs[None, :])
-    reach = par_oh.astype(jnp.bfloat16)
-    for _ in range(max(1, math.ceil(math.log2(max(c, 2))))):
-        reach = (jax.lax.dot_general(
-            reach, reach, (((1,), (0,)), ((), ()))) > 0).astype(jnp.bfloat16)
-    keep = reach[:, nr] > 0
+    # keep[i] = "nr is an ancestor of i (or i itself)"; implementation
+    # chosen statically by capacity (see _keep_subtree_*)
+    if c <= 512:
+        keep = _keep_subtree_closure(tree.parent, nr)
+    else:
+        keep = _keep_subtree_doubling(tree.parent, nr)
 
     rank = (jnp.cumsum(keep) - 1).astype(jnp.int32)
     # truncate: the new root nr has the smallest surviving index (its

@@ -353,3 +353,54 @@ def test_dirichlet_noise_applied_at_root():
     assert np.allclose(np.asarray(noisy.node_P[:, 0].sum(-1)), 1.0, atol=1e-5)
     # different games draw different noise
     assert not np.allclose(np.asarray(noisy.node_P[0, 0]), np.asarray(noisy.node_P[1, 0]))
+
+
+def test_keep_subtree_impls_agree():
+    """_advance_root's survivor mask has two capacity-selected
+    implementations (MXU transitive closure for small trees, pointer
+    doubling for 19x19-class reuse capacities) — they must agree on
+    random topological forests."""
+    from sejonggo_tpu.search.mcts import (_keep_subtree_closure,
+                                          _keep_subtree_doubling)
+
+    rng = np.random.RandomState(0)
+    for c in (2, 7, 64, 146, 600):
+        for _ in range(5):
+            # topological parents (children allocated after parents;
+            # parent[0]=0 parks chains at the root, tree.py invariant)
+            parent = np.zeros(c, np.int32)
+            for i in range(1, c):
+                parent[i] = rng.randint(0, i)
+            nr = int(rng.randint(0, c))
+            pj = jnp.asarray(parent)
+            a = np.asarray(_keep_subtree_closure(pj, jnp.asarray(nr)))
+            b = np.asarray(_keep_subtree_doubling(pj, jnp.asarray(nr)))
+            assert np.array_equal(a, b), (c, nr)
+            assert a[nr]
+
+
+def test_advance_root_large_capacity_doubling_path():
+    """Re-rooting at a capacity above the closure/doubling switch
+    (C>512) goes through _keep_subtree_doubling; semantics must match
+    the small-capacity path: chosen child becomes root slot 0 with its
+    stats carried over."""
+    big_cap = 600
+    boards = jnp.stack([engine.init_board(SIZE)])
+    policies, _ = dummy_predict_fn(boards)
+    trees = new_tree_batch(policies, boards, big_cap)
+    trees = run_search(trees, dummy_predict_fn, jax.random.PRNGKey(0),
+                       simulations=16, batch_size=4)
+    action = int(jnp.argmax(trees.child_N[0, 0]))
+    child = int(trees.child_idx[0, 0, action])
+    child_n = int(trees.child_N[0, 0, action])
+    new_board = engine.step(engine.init_board(SIZE), action)
+    adv, valid = advance_root_batch(trees, jnp.asarray([action]),
+                                    new_board[None], reserve=16)
+    assert bool(valid[0])
+    assert int(adv.root_N[0]) == child_n
+    # the new root's stones are the stepped board's stones
+    assert np.array_equal(np.asarray(adv.node_stones[0, 0]),
+                          np.asarray(engine.signed_stones(new_board)))
+    # old child priors survived at the new root
+    assert np.allclose(np.asarray(adv.node_P[0, 0]),
+                       np.asarray(trees.node_P[0, child]))
