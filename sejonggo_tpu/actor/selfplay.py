@@ -179,6 +179,12 @@ def _make_move_step(predict1: Callable, predict2: Optional[Callable],
             simulations=search.simulations, batch_size=search.batch_size,
             c_puct=search.c_puct, negamax=search.negamax,
             use_symmetry=search.use_symmetry,
+            # evaluation games have no Dirichlet noise and greedy
+            # decisions — per-game symmetry draws are their ONLY
+            # decorrelation (reference games decorrelate through each
+            # process's own random_symmetry_predict RNG); self-play
+            # keeps the cheaper shared-draw path (noise decorrelates it)
+            per_game_symmetry=not selfplay,
         )
         actions = decide_batch(active, greedy, r_decide)
         ptargets = policy_target_batch(active, search.policy_target)

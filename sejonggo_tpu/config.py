@@ -231,7 +231,11 @@ def strength_9x9(**overrides) -> Config:
         train=TrainConfig(batch_size=256, iters_per_epoch=64,
                           epochs_per_save=4, replay_window=80_000,
                           lr=2e-2),
-        eval=EvalConfig(num_games=64),
+        # 128 gate games: at margin .55 a true-50% pair false-promotes
+        # with p~=.08 on 64 games but ~.013 on 128 (the reference gates
+        # on 100, conf.py:52) — with the decorrelated per-game-symmetry
+        # eval the gate is honest, so give it the sample size to match.
+        eval=EvalConfig(num_games=128),
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 

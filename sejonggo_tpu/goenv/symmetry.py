@@ -128,6 +128,18 @@ def inverse_policy_switch(policy, sym):
     return jax.lax.switch(sym, [br(s) for s in range(NUM_SYMMETRIES)])
 
 
+def transform_flat_pergame(x, sym_ids, size: int):
+    """Per-game variant of transform_flat_switch: `x` is (B, M, size*size)
+    (flat spatial last axis), `sym_ids` is (B,) int32 — row b is permuted
+    by its own symmetry.  A dynamic gather (vs. the switch's static data
+    movement): used on EVALUATION paths where per-game decorrelation
+    matters more than the hot-loop cost (see mcts.simulate_round
+    per_game_symmetry)."""
+    bperm, _ = symmetry_tables(size)
+    perm = jnp.asarray(bperm)[sym_ids]          # (B, n*n)
+    return jnp.take_along_axis(x, perm[:, None, :], axis=-1)
+
+
 def random_symmetry_predict(predict_fn, boards, rng, num_symmetries: int = NUM_REFERENCE_SYMMETRIES):
     """Evaluate `predict_fn` under ONE random D4 symmetry for the whole
     batch — exactly the reference's behavior (random_symmetry_predict

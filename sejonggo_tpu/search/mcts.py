@@ -171,6 +171,12 @@ def _draw_symmetry(rng, num_symmetries: int):
     return jax.random.randint(rng, (), 0, num_symmetries)
 
 
+def _draw_symmetry_batch(rng, num_symmetries: int, b: int):
+    """One D4 symmetry id PER GAME (per_game_symmetry mode).  Module-
+    level so tests can pin a fixed transform."""
+    return jax.random.randint(rng, (b,), 0, num_symmetries)
+
+
 def leaf_features(trees: Tree, leaf_p, leaf_stones, leaf_side, sym=None):
     """(B, k, N, N, 17) int8: reconstruct the reference 17-plane feature
     stack for each leaf from its ancestor chain of stone grids, falling
@@ -194,12 +200,15 @@ def leaf_features(trees: Tree, leaf_p, leaf_stones, leaf_side, sym=None):
     TPU-friendly gather shape; per-element plane gathers are ~5x
     slower (measured).
 
-    `sym`: optional traced D4 symmetry id; the spatial permutation is
-    applied to the (small) SOURCE grids — node-stone table, root
-    planes, leaf grids — instead of the assembled feature tensor, so
-    the random-symmetry evaluation costs ~1/4 of a post-hoc gather of
-    the (B*k, N, N, 17) features.  The caller inverse-permutes the
-    policy (symmetry.inverse_policy_switch).
+    `sym`: optional traced D4 symmetry id — a scalar (one transform for
+    the whole batch, static-permutation switch) or a (B,) vector (one
+    per game, dynamic gather; see simulate_round per_game_symmetry).
+    The spatial permutation is applied to the (small) SOURCE grids —
+    node-stone table, root planes, leaf grids — instead of the
+    assembled feature tensor, so the random-symmetry evaluation costs
+    ~1/4 of a post-hoc gather of the (B*k, N, N, 17) features.  The
+    caller inverse-permutes the policy (symmetry.inverse_policy_switch
+    / inverse_policy_batch).
     """
     b, k = leaf_p.shape
     n = leaf_stones.shape[-1]
@@ -211,11 +220,18 @@ def leaf_features(trees: Tree, leaf_p, leaf_stones, leaf_side, sym=None):
     # (B, 17, nn): plane-major so history pairs gather as contiguous rows
     root_t = jnp.swapaxes(trees.root_board.reshape(b, nn, 17), 1, 2)
     if sym is not None:
-        from sejonggo_tpu.goenv.symmetry import transform_flat_switch
+        if jnp.ndim(sym) == 0:
+            from sejonggo_tpu.goenv.symmetry import transform_flat_switch
 
-        leaf_flat = transform_flat_switch(leaf_flat, sym, n)
-        node_flat = transform_flat_switch(node_flat, sym, n)
-        root_t = transform_flat_switch(root_t, sym, n)
+            leaf_flat = transform_flat_switch(leaf_flat, sym, n)
+            node_flat = transform_flat_switch(node_flat, sym, n)
+            root_t = transform_flat_switch(root_t, sym, n)
+        else:
+            from sejonggo_tpu.goenv.symmetry import transform_flat_pergame
+
+            leaf_flat = transform_flat_pergame(leaf_flat, sym, n)
+            node_flat = transform_flat_pergame(node_flat, sym, n)
+            root_t = transform_flat_pergame(root_t, sym, n)
 
     # ancestor chain a_j (j = 1..7): leaf's parent node, grandparent, ...
     # (parent[0] == 0, so the chain parks at the root slot)
@@ -263,9 +279,21 @@ def leaf_features(trees: Tree, leaf_p, leaf_stones, leaf_side, sym=None):
 
 def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
                    c_puct: float = 1.0, negamax: bool = False,
-                   use_symmetry: bool = False):
+                   use_symmetry: bool = False,
+                   per_game_symmetry: bool = False):
     """One search round over a batch of B trees: one network call and
-    one batched env step for all B*k leaves."""
+    one batched env step for all B*k leaves.
+
+    per_game_symmetry: each GAME draws its own D4 transform per round
+    (dynamic per-row gather) instead of one shared transform per round
+    (static-permutation switch).  The shared draw is the self-play fast
+    path (games are already decorrelated by per-game Dirichlet noise);
+    evaluation games have NO other stochasticity — greedy decisions, no
+    noise — so a shared stream collapses a whole eval batch into 2
+    distinct games (one per color) and gate winrates quantize to the
+    color split.  The reference avoids this implicitly: every game
+    process calls random_symmetry_predict with its own RNG
+    (symmetry.py:127-132), which is exactly per-game symmetry."""
     k = batch_size
     leaf_p, leaf_a, active = jax.vmap(
         partial(_collect_leaves, k=k, c_puct=c_puct))(trees)
@@ -295,14 +323,21 @@ def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
     sym = None
     if use_symmetry:
         from sejonggo_tpu.goenv.symmetry import (NUM_REFERENCE_SYMMETRIES,
+                                                 inverse_policy_batch,
                                                  inverse_policy_switch)
 
-        sym = _draw_symmetry(rng, NUM_REFERENCE_SYMMETRIES)
+        if per_game_symmetry:
+            sym = _draw_symmetry_batch(rng, NUM_REFERENCE_SYMMETRIES, b)
+        else:
+            sym = _draw_symmetry(rng, NUM_REFERENCE_SYMMETRIES)
     feats = leaf_features(trees, leaf_p, leaf_stones, leaf_side, sym=sym)
     flat_feats = feats.reshape(b * k, n, n, 17)
     policies, values = predict_fn(flat_feats)
     if sym is not None:
-        policies = inverse_policy_switch(policies, sym)
+        if jnp.ndim(sym) == 0:
+            policies = inverse_policy_switch(policies, sym)
+        else:
+            policies = inverse_policy_batch(policies, jnp.repeat(sym, k))
     policies = policies.reshape(b, k, -1)
     values = values.reshape(b, k)
     return jax.vmap(partial(_expand_backup, negamax=negamax))(
@@ -312,7 +347,7 @@ def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
 
 def run_search(trees: Tree, predict_fn: Callable, rng, *, simulations: int,
                batch_size: int, c_puct: float = 1.0, negamax: bool = False,
-               use_symmetry: bool = False):
+               use_symmetry: bool = False, per_game_symmetry: bool = False):
     """simulations/batch_size rounds (reference mcts_decision
     self_play.py:128-132).
 
@@ -332,7 +367,8 @@ def run_search(trees: Tree, predict_fn: Callable, rng, *, simulations: int,
             rng, sub = jax.random.split(rng)
             trees = simulate_round(
                 trees, predict_fn, sub, batch_size=batch_size,
-                c_puct=c_puct, negamax=negamax, use_symmetry=use_symmetry)
+                c_puct=c_puct, negamax=negamax, use_symmetry=use_symmetry,
+                per_game_symmetry=per_game_symmetry)
         return trees
 
     def body(_, carry):
@@ -340,7 +376,8 @@ def run_search(trees: Tree, predict_fn: Callable, rng, *, simulations: int,
         rng, sub = jax.random.split(rng)
         trees = simulate_round(
             trees, predict_fn, sub, batch_size=batch_size, c_puct=c_puct,
-            negamax=negamax, use_symmetry=use_symmetry)
+            negamax=negamax, use_symmetry=use_symmetry,
+            per_game_symmetry=per_game_symmetry)
         return trees, rng
 
     trees, _ = lax.fori_loop(0, rounds, body, (trees, rng))

@@ -176,6 +176,9 @@ def test_trained_net_game_with_symmetry_matches_reference(
     # pin ours to the same transform: symmetry id 1 on every draw
     monkeypatch.setattr(mcts_mod, "_draw_symmetry",
                         lambda rng, num: jnp.asarray(1, jnp.int32))
+    monkeypatch.setattr(
+        mcts_mod, "_draw_symmetry_batch",
+        lambda rng, num, b: jnp.full((b,), 1, jnp.int32))
     sp_mod._make_move_step.cache_clear()
     monkeypatch.setattr(ref_sp, "MCTS_BATCH_SIZE", k)
     pyrandom.seed(0)

@@ -141,3 +141,34 @@ def test_evaluator_gating():
         passer, dummy_actor_fn, size=SIZE, komi=5.5, search=search,
         eval_cfg=eval_cfg, rng=jax.random.PRNGKey(1), max_moves=8)
     assert res2["winrate"] == 0.0 and not res2["promote"]
+
+
+def test_eval_games_decorrelate_via_pergame_symmetry():
+    """Evaluation games are greedy with no Dirichlet noise, so their
+    ONLY stochasticity is the per-game D4 symmetry draw (the reference
+    decorrelates identically: each game process's own RNG feeds
+    random_symmetry_predict, symmetry.py:127-132).  A real (non-
+    equivariant) net evaluated against itself must therefore produce a
+    diverse batch of games — not a batch that collapses into one game
+    per color, which quantizes gate winrates to the color split
+    (round-3 regression: the shared-draw fast path did exactly that)."""
+    from sejonggo_tpu.config import NetConfig
+    from sejonggo_tpu.nets import AZNet, init_variables, make_predict_fn
+
+    net = AZNet.from_config(SIZE, NetConfig(blocks=1, filters=8,
+                                            value_hidden=8,
+                                            compute_dtype="float32"))
+    variables = init_variables(net, jax.random.PRNGKey(0))
+    predict = make_predict_fn(net)
+    search = SearchConfig(simulations=8, batch_size=4, use_symmetry=True)
+    res = evaluate_models(
+        predict, predict, size=SIZE, komi=5.5, search=search,
+        eval_cfg=EvalConfig(num_games=16, margin=0.55),
+        rng=jax.random.PRNGKey(2),
+        variables_latest=variables, variables_best=variables,
+        collect_games=True)
+    gb = res["game_batches"][0]
+    lengths = set(np.asarray(gb.num_moves).tolist())
+    assert len(lengths) > 2, (
+        f"eval games collapsed to {lengths} — per-game symmetry "
+        f"decorrelation is broken")

