@@ -155,8 +155,12 @@ def test_closed_loop_improves_over_generations(tmp_path):
     deterministic games and its winrate quantizes to the color split.
 
     The learning assertion is the END-STATE duel over 48 games (gate
-    verdicts on 16 games carry ~12%-sigma noise; calibration runs of
-    this config put the final best at ~0.75 vs model_1 over 64 games)."""
+    verdicts on 16 games carry ~12%-sigma noise).  Generation budget is
+    calibrated: under the pytest 8-virtual-device mesh this exact
+    config+seed first promotes at gen 8 (gate 0.69) and again at gens
+    10/13/15 (scripts/calibrate_slow_loop.py, runs logged in commit);
+    12 generations gives the first promotion a 4-gen margin without
+    doubling the runtime."""
     from sejonggo_tpu.learn import evaluate_models
     from sejonggo_tpu.pipeline import Pipeline
 
@@ -175,7 +179,7 @@ def test_closed_loop_improves_over_generations(tmp_path):
                           lr=2e-2),
         eval=EvalConfig(num_games=16, margin=0.55),
     )
-    GENS = 6
+    GENS = 12
     pipe = Pipeline(cfg, str(tmp_path), seed=3)
     winrates = []
     for gen in range(GENS):
