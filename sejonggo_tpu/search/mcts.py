@@ -39,6 +39,34 @@ from sejonggo_tpu.goenv import engine
 from sejonggo_tpu.search.tree import Tree
 
 
+def _take_rows_mxu(table, idx):
+    """Row gather as a one-hot matmul on the MXU: (B, C, R) table,
+    (B, G) indices -> (B, G, R).
+
+    Why: XLA lowers take_along_axis on the int8 stone/plane tables to a
+    kCustom gather whose 81-byte rows each touch a full (8,128)x(4,1)
+    tile — measured 3.6 ms for the (2048, 82, 81)-by-112-rows gather of
+    the 9x9 bench round (41.7% of the round is such gathers,
+    PROFILE_9x9.md) — while the equivalent one-hot matmul is a few
+    GFLOP on a ~200 TFLOPS MXU reading the table linearly.
+
+    Exact: the one-hot row has a single 1, so each output element is a
+    single product — no accumulation, any dtype round-trips exactly
+    (stone/plane values are {-1, 0, 1}).  Only worth it for small
+    capacities (the matmul reads all C rows); large-C tables fall back
+    to the native gather.
+    """
+    b, c = table.shape[0], table.shape[1]
+    if c > 4096 or not jnp.issubdtype(table.dtype, jnp.integer):
+        return jnp.take_along_axis(
+            table, idx.reshape(b, -1, *([1] * (table.ndim - 2))), axis=1)
+    rows = table.reshape(b, c, -1)
+    oh = (idx[..., None] == jnp.arange(c, dtype=idx.dtype)).astype(jnp.bfloat16)
+    out = jnp.einsum("bgc,bcr->bgr", oh, rows.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out.astype(table.dtype).reshape(b, idx.shape[1], *table.shape[2:])
+
+
 def _puct_scores(tree: Tree, n, c_puct: float):
     cn = tree.child_N[n].astype(jnp.float32)
     total = jnp.sqrt(jnp.sum(cn))
@@ -247,8 +275,7 @@ def leaf_features(trees: Tree, leaf_p, leaf_stones, leaf_side, sym=None):
     m = jnp.where(hit.any(axis=2), 1 + jnp.argmax(hit, axis=2), 8)
     m = m.astype(jnp.int32)[:, :, None]  # (B, k, 1)
 
-    chain = jnp.take_along_axis(
-        node_flat, a.reshape(b, k * 7)[:, :, None], axis=1)
+    chain = _take_rows_mxu(node_flat, a.reshape(b, k * 7))
     chain = chain.reshape(b, k, 7, nn)
 
     jr = jnp.arange(1, 8, dtype=jnp.int32)[None, None, :]  # pair offset
@@ -258,7 +285,7 @@ def leaf_features(trees: Tree, leaf_p, leaf_stones, leaf_side, sym=None):
     own_pi = jnp.clip(2 * q + sw, 0, 15)
     opp_pi = jnp.clip(2 * q + 1 - sw, 0, 15)
     pidx = jnp.stack([own_pi, opp_pi], axis=-1).reshape(b, k * 14)
-    rows = jnp.take_along_axis(root_t, pidx[:, :, None], axis=1)
+    rows = _take_rows_mxu(root_t, pidx)
     rows = rows.reshape(b, k, 7, 2, nn)
 
     s = leaf_side[:, :, None].astype(jnp.int8)              # (B, k, 1)
@@ -305,8 +332,7 @@ def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
     # sims/batch settings; with ops.gostep enabled the whole
     # place/capture/suicide/ko/liberty sequence runs as one
     # VMEM-resident Pallas kernel (engine.step_and_illegal_stones_batch)
-    parent_stones = jnp.take_along_axis(
-        trees.node_stones, leaf_p[:, :, None, None], axis=1)
+    parent_stones = _take_rows_mxu(trees.node_stones, leaf_p)
     parent_side = jnp.take_along_axis(trees.node_side, leaf_p, axis=1)
     flat_stones, flat_illegal = engine.step_and_illegal_stones_batch(
         parent_stones.reshape(b * k, n, n),
