@@ -165,12 +165,14 @@ def main():
 
     on_cpu = jax.default_backend() == "cpu"
 
-    # ---- 9x9 headline: B=2048 is the single-chip v5e sweet spot
-    # (B=4096 exceeds the compiler's memory budget).  max_nodes=82 keeps
-    # a full decision's expansions + a small reuse window (measured
-    # 115k -> 148k env-steps/s vs the 2*sims default from HBM traffic).
+    # ---- 9x9 headline: B=3072 is the single-chip v5e sweet spot after
+    # the compact-tree + MXU-gather rework (r1's B=2048 memory ceiling
+    # is gone; sweep in scripts/sweep_batch_9x9.py: 2048 -> 730k,
+    # 3072 -> 759k, 4096 -> 758k).  max_nodes=82 keeps a full decision's
+    # expansions + a small reuse window (measured 115k -> 148k
+    # env-steps/s vs the 2*sims default from HBM traffic).
     size9 = 9
-    b9 = 64 if on_cpu else 2048
+    b9 = 64 if on_cpu else 3072
     search9 = SearchConfig(simulations=64, batch_size=16, use_symmetry=True,
                            max_nodes=82)
     net9 = NetConfig(blocks=4, filters=64, value_hidden=64,

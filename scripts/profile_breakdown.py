@@ -123,7 +123,7 @@ def main():
 
     # the bench 9x9 operating point (bench.py main)
     size = 9
-    b = args.batch or (64 if on_cpu else 2048)
+    b = args.batch or (64 if on_cpu else 3072)
     k = 16
     sims = 64
     search = SearchConfig(simulations=sims, batch_size=k,
@@ -266,14 +266,19 @@ def main():
         ]
         for name, ms in trace_table:
             lines.append(f"| {name} | {ms:.2f} | {100*ms/trace_total:.1f}% |")
+        top, top_ms = trace_table[0]
+        non_net = sum(ms for name, ms in trace_table
+                      if name != "network (conv/dot)"
+                      and not name.startswith("convolution"))
         lines += [
             "",
-            "Reading: at 9x9 the bottleneck is NOT the network — row "
-            "gathers over the tree arrays (leaf feature reconstruction, "
-            "child-stat lookups) plus layout copies dominate; the fused "
-            "Pallas env kernel is ~1% (which is why its A/B delta was "
-            "small, scripts/ab_gostep.py).  Future 9x9 wins live in "
-            "gather shape/layout work, not in the env or the net.",
+            f"Reading: the round's largest device-time category is "
+            f"**{top}** ({100*top_ms/trace_total:.1f}%); everything "
+            f"outside the network sums to "
+            f"{100*non_net/trace_total:.1f}% of the round — that is "
+            "the optimization headroom for search/tree/env work at "
+            "this point (history of what each rework bought: "
+            "runs/*.log, BENCH_r*.json).",
         ]
     lines += [
         "",

@@ -39,6 +39,12 @@ from sejonggo_tpu.goenv import engine
 from sejonggo_tpu.search.tree import Tree
 
 
+# capacity cutoff for the one-hot-matmul gather: the matmul reads all C
+# table rows, so past some capacity the native gather's sparse reads win
+# (A/B-tunable; see _take_rows_mxu docstring for the measurement)
+_MXU_GATHER_MAX_ROWS = 4096
+
+
 def _take_rows_mxu(table, idx):
     """Row gather as a one-hot matmul on the MXU: (B, C, R) table,
     (B, G) indices -> (B, G, R).
@@ -57,7 +63,7 @@ def _take_rows_mxu(table, idx):
     to the native gather.
     """
     b, c = table.shape[0], table.shape[1]
-    if c > 4096 or not jnp.issubdtype(table.dtype, jnp.integer):
+    if c > _MXU_GATHER_MAX_ROWS or not jnp.issubdtype(table.dtype, jnp.integer):
         return jnp.take_along_axis(
             table, idx.reshape(b, -1, *([1] * (table.ndim - 2))), axis=1)
     rows = table.reshape(b, c, -1)

@@ -433,3 +433,41 @@ def test_leaf_features_pergame_symmetry_matches_scalar():
         ref = leaf_features(trees, leaf_p, leaf_stones, leaf_side,
                             sym=jnp.asarray(s, jnp.int32))
         assert np.array_equal(np.asarray(mixed[b]), np.asarray(ref[b])), s
+
+
+def test_take_rows_mxu_matches_native_gather():
+    """The one-hot MXU row gather must be bit-exact vs take_along_axis
+    for every table shape/dtype the hot path feeds it: int8 stone
+    grids (values {-1,0,1}), multi-dim trailing shapes, and the
+    large-capacity / float fallbacks."""
+    from sejonggo_tpu.search import mcts
+    from sejonggo_tpu.search.mcts import _take_rows_mxu
+
+    rng = np.random.RandomState(1)
+    for b, c, trail in ((3, 82, (81,)), (2, 146, (9, 9)), (1, 7, (4, 3))):
+        table = jnp.asarray(
+            rng.randint(-1, 2, size=(b, c) + trail), jnp.int8)
+        idx = jnp.asarray(rng.randint(0, c, size=(b, 11)), jnp.int32)
+        got = _take_rows_mxu(table, idx)
+        want = jnp.take_along_axis(
+            table, idx.reshape(b, 11, *([1] * len(trail))), axis=1)
+        assert got.dtype == table.dtype
+        assert np.array_equal(np.asarray(got), np.asarray(want)), (b, c)
+
+    # float tables and capacities past the cutoff take the native path
+    # (same results by construction, but pin the routing doesn't break)
+    ftab = jnp.asarray(rng.randn(2, 16, 5), jnp.float32)
+    fidx = jnp.asarray(rng.randint(0, 16, size=(2, 4)), jnp.int32)
+    assert np.array_equal(
+        np.asarray(_take_rows_mxu(ftab, fidx)),
+        np.asarray(jnp.take_along_axis(ftab, fidx[:, :, None], axis=1)))
+    old = mcts._MXU_GATHER_MAX_ROWS
+    try:
+        mcts._MXU_GATHER_MAX_ROWS = 8
+        itab = jnp.asarray(rng.randint(-1, 2, size=(2, 32, 6)), jnp.int8)
+        iidx = jnp.asarray(rng.randint(0, 32, size=(2, 5)), jnp.int32)
+        assert np.array_equal(
+            np.asarray(_take_rows_mxu(itab, iidx)),
+            np.asarray(jnp.take_along_axis(itab, iidx[:, :, None], axis=1)))
+    finally:
+        mcts._MXU_GATHER_MAX_ROWS = old
