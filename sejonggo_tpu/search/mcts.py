@@ -133,19 +133,47 @@ def _collect_leaves(tree: Tree, k: int, c_puct: float):
 
 
 def _expand_backup(tree: Tree, leaf_p, leaf_a, leaf_stones, leaf_side,
-                   active, policies, values, legal, negamax: bool):
+                   active, policies, values, legal, negamax: bool,
+                   slot_base=None):
     """Phase 3: allocate nodes for the k leaves, set priors/legality,
-    wire child pointers, and back up values along each path."""
-    k = leaf_p.shape[0]
-    base = tree.n_nodes
-    slots = base + jnp.arange(k, dtype=jnp.int32)
+    wire child pointers, and back up values along each path.
 
-    node_stones = tree.node_stones.at[slots].set(leaf_stones)
-    node_side = tree.node_side.at[slots].set(leaf_side)
-    node_P = tree.node_P.at[slots].set(policies)
-    node_legal = tree.node_legal.at[slots].set(legal & active[:, None])
-    parent = tree.parent.at[slots].set(jnp.where(active, leaf_p, 0))
-    parent_action = tree.parent_action.at[slots].set(jnp.where(active, leaf_a, -1))
+    slot_base: when given (a batch-uniform scalar — run_search passes
+    ``capacity - simulations + round*k``), the k new nodes land at
+    ``[slot_base, slot_base + k)`` via contiguous dynamic-update-slices
+    instead of per-game scatters at ``n_nodes``.  A uniform offset turns
+    six (B, k)-row scatters into plain strided stores — the expansion
+    scatters plus the node-table layout copies they forced were ~12% of
+    a search round's device time (PROFILE_9x9.md).  Valid because every
+    production caller reserves exactly ``simulations`` slots at
+    re-rooting time (advance_root truncates survivors to
+    ``capacity - reserve``), so ``[capacity - simulations, capacity)``
+    is free in every tree regardless of its survivor count."""
+    k = leaf_p.shape[0]
+    if slot_base is None:
+        base = tree.n_nodes
+        slots = base + jnp.arange(k, dtype=jnp.int32)
+        node_stones = tree.node_stones.at[slots].set(leaf_stones)
+        node_side = tree.node_side.at[slots].set(leaf_side)
+        node_P = tree.node_P.at[slots].set(policies)
+        node_legal = tree.node_legal.at[slots].set(legal & active[:, None])
+        parent = tree.parent.at[slots].set(jnp.where(active, leaf_p, 0))
+        parent_action = tree.parent_action.at[slots].set(
+            jnp.where(active, leaf_a, -1))
+        n_nodes = tree.n_nodes + k
+    else:
+        base = jnp.asarray(slot_base, jnp.int32)
+        slots = base + jnp.arange(k, dtype=jnp.int32)
+        dus = lax.dynamic_update_slice
+        z = jnp.asarray(0, jnp.int32)
+        node_stones = dus(tree.node_stones, leaf_stones, (base, z, z))
+        node_side = dus(tree.node_side, leaf_side, (base,))
+        node_P = dus(tree.node_P, policies, (base, z))
+        node_legal = dus(tree.node_legal, legal & active[:, None], (base, z))
+        parent = dus(tree.parent, jnp.where(active, leaf_p, 0), (base,))
+        parent_action = dus(tree.parent_action,
+                            jnp.where(active, leaf_a, -1), (base,))
+        n_nodes = base + k
     child_idx = tree.child_idx.at[leaf_p, leaf_a].set(
         jnp.where(active, slots, tree.child_idx[leaf_p, leaf_a]))
 
@@ -194,7 +222,7 @@ def _expand_backup(tree: Tree, leaf_p, leaf_a, leaf_stones, leaf_side,
         node_P=node_P, node_legal=node_legal,
         child_N=cn, child_W=cw, child_idx=child_idx,
         parent=parent, parent_action=parent_action,
-        n_nodes=tree.n_nodes + k, root_N=rn, root_W=rw,
+        n_nodes=n_nodes, root_N=rn, root_W=rw,
     )
 
 
@@ -313,7 +341,7 @@ def leaf_features(trees: Tree, leaf_p, leaf_stones, leaf_side, sym=None):
 def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
                    c_puct: float = 1.0, negamax: bool = False,
                    use_symmetry: bool = False,
-                   per_game_symmetry: bool = False):
+                   per_game_symmetry: bool = False, slot_base=None):
     """One search round over a batch of B trees: one network call and
     one batched env step for all B*k leaves.
 
@@ -372,7 +400,8 @@ def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
             policies = inverse_policy_batch(policies, jnp.repeat(sym, k))
     policies = policies.reshape(b, k, -1)
     values = values.reshape(b, k)
-    return jax.vmap(partial(_expand_backup, negamax=negamax))(
+    return jax.vmap(
+        partial(_expand_backup, negamax=negamax, slot_base=slot_base))(
         trees, leaf_p, leaf_a, leaf_stones, leaf_side, active, policies,
         values, legal)
 
@@ -392,24 +421,40 @@ def run_search(trees: Tree, predict_fn: Callable, rng, *, simulations: int,
     """
     rounds = simulations // batch_size
 
+    # Uniform static expansion slots: every production caller reserves
+    # `simulations` slots at re-rooting (advance_root truncates
+    # survivors to capacity - reserve), so round r's k expansions can
+    # always land at capacity - simulations + r*k — the same offset in
+    # every tree of the batch, which turns the six expansion scatters
+    # into contiguous stores (see _expand_backup).  Falls back to
+    # per-game dynamic allocation when the reserved region doesn't
+    # exist (capacity <= simulations can't happen via tree_capacity,
+    # but direct simulate_round users build such trees in tests).
+    capacity = trees.node_stones.shape[1]
+    base0 = capacity - simulations if isinstance(simulations, int) else None
+    if base0 is not None and base0 < 1:
+        base0 = None
+
     # unrolling needs concrete Python ints (ADVICE r2: `rounds <= 8` /
     # `range(rounds)` fail on tracers); traced bounds take the fori_loop
     if isinstance(rounds, int) and rounds <= 8:
-        for _ in range(rounds):
+        for r in range(rounds):
             rng, sub = jax.random.split(rng)
             trees = simulate_round(
                 trees, predict_fn, sub, batch_size=batch_size,
                 c_puct=c_puct, negamax=negamax, use_symmetry=use_symmetry,
-                per_game_symmetry=per_game_symmetry)
+                per_game_symmetry=per_game_symmetry,
+                slot_base=None if base0 is None else base0 + r * batch_size)
         return trees
 
-    def body(_, carry):
+    def body(r, carry):
         trees, rng = carry
         rng, sub = jax.random.split(rng)
         trees = simulate_round(
             trees, predict_fn, sub, batch_size=batch_size, c_puct=c_puct,
             negamax=negamax, use_symmetry=use_symmetry,
-            per_game_symmetry=per_game_symmetry)
+            per_game_symmetry=per_game_symmetry,
+            slot_base=None if base0 is None else base0 + r * batch_size)
         return trees, rng
 
     trees, _ = lax.fori_loop(0, rounds, body, (trees, rng))

@@ -51,7 +51,11 @@ class Tree(NamedTuple):
     child_idx: jnp.ndarray    # (C, A) i32 — child slot or -1
     parent: jnp.ndarray       # (C,) i32 — parent slot (root: 0)
     parent_action: jnp.ndarray  # (C,) i32 — action from parent (root: -1)
-    n_nodes: jnp.ndarray      # () i32 — allocated slots
+    n_nodes: jnp.ndarray      # () i32 — allocation high-water mark: live
+    #   slots are a subset of [0, n_nodes).  Contiguous [0, n_nodes)
+    #   after re-root compaction; run_search expands into the STATIC
+    #   reserved region [capacity - simulations, capacity), leaving a
+    #   dead gap behind (mcts._expand_backup slot_base)
     root_N: jnp.ndarray       # () i32 — root visit count
     root_W: jnp.ndarray       # () f32 — root value sum
 

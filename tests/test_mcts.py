@@ -192,7 +192,12 @@ def test_run_search_visit_budget():
                       simulations=16, batch_size=4)
     assert np.all(np.asarray(tree.root_N) == 16)
     assert np.all(np.asarray(tree.child_N[:, 0].sum(-1)) == 16)
-    assert np.all(np.asarray(tree.n_nodes) == 1 + 16)
+    # run_search expands into the reserved static region
+    # [capacity - simulations, capacity): n_nodes is the allocation
+    # high-water mark, and exactly 16 slots carry live expansions
+    assert np.all(np.asarray(tree.n_nodes) == CAP)
+    live = np.asarray(tree.parent_action[0]) >= 0
+    assert live.sum() == 16
 
 
 def test_decide_greedy_and_sampling():
