@@ -73,6 +73,31 @@ def _take_rows_mxu(table, idx):
     return out.astype(table.dtype).reshape(b, idx.shape[1], *table.shape[2:])
 
 
+def _puct_scores_all(tree: Tree, c_puct: float):
+    """(C, A) PUCT score table for EVERY node at once.
+
+    PUCT per node row: u = c_puct * P * sqrt(sum_b N_b) / (1 + N_a),
+    score = Q + u with Q = W/N (0 unvisited), illegal -> -inf.  The
+    whole-table form exists because the tree is FROZEN during a round's
+    leaf collection, so one vectorized pass replaces the per-iteration
+    row gathers the descent while-loops used to issue (the two descent
+    loops + their (C, A)-table layout copies were ~11% of a search
+    round's device time, PROFILE_9x9.md)."""
+    cn = tree.child_N.astype(jnp.float32)
+    total = jnp.sqrt(jnp.sum(cn, axis=1, keepdims=True))
+    total = jnp.where(total == 0, 1.0, total)
+    q = jnp.where(cn > 0, tree.child_W / jnp.maximum(cn, 1.0), 0.0)
+    u = c_puct * tree.node_P * total / (1.0 + cn)
+    return jnp.where(tree.node_legal, q + u, -jnp.inf)
+
+
+# capacity cutoff for the matrix-squaring descent: squaring a (C, C)
+# one-hot is O(C^3 log C) MXU work — a rounding error at 9x9-class
+# capacities, prohibitive at 19x19-class (C=2218: ~4 TFLOP per round)
+# where the while-loop descent is noise under the 20-block network
+_MXU_DESCENT_MAX_ROWS = 512
+
+
 def _puct_scores(tree: Tree, n, c_puct: float):
     cn = tree.child_N[n].astype(jnp.float32)
     total = jnp.sqrt(jnp.sum(cn))
@@ -121,9 +146,62 @@ def _walk_to_leaf(tree: Tree, p, a, c_puct: float):
     return p, a
 
 
+def _collect_leaves_squaring(tree: Tree, k: int, c_puct: float):
+    """Small-capacity descent by PERMUTATION-MATRIX SQUARING: with the
+    tree frozen, each node's top-1 PUCT move is a static table best[n],
+    so the reference's recursive descent (self_play.py:30-33, 45-62) is
+    iterated application of g(n) = child_idx[n, best[n]] (parking at n
+    when that child is unexpanded).  g as a (C, C) one-hot matrix P
+    composes by matmul: P <- P @ P doubles the chase length, so
+    ceil(log2(C)) MXU squarings reach every node's fixpoint at once.
+    P stays exactly one-hot under squaring (function composition), so
+    0/1 entries are exact in bf16 and fix = P @ iota is exact in the
+    f32 accumulator.  The frontier is fix[0]; the top-k frontier
+    actions' leaves are the edges (fix[c], best[fix[c]]) for expanded
+    children c — exactly the old per-action top-1 walk, since both
+    follow the same frozen best-chain.
+
+    Why not gather-based pointer doubling (fix <- fix[fix]): TPU
+    per-element dynamic gathers are latency-bound — measured 2.0 ms
+    PER DOUBLING on the (3072, 82) table (~8 ns/element), 7x that lost
+    the whole rework; the squaring runs the same chase as a few
+    batched 82x82 matmuls."""
+    scores = _puct_scores_all(tree, c_puct)                # (C, A)
+    best = jnp.argmax(scores, axis=1).astype(jnp.int32)    # ties -> low action
+    c, a_dim = scores.shape
+    iota = jnp.arange(c, dtype=jnp.int32)
+    # nxt[n] = child_idx[n, best[n]] as a compare+reduce (a (C, A) row
+    # select lowers to another latency-bound per-element gather)
+    nxt = jnp.sum(jnp.where(jnp.arange(a_dim, dtype=jnp.int32)[None, :]
+                            == best[:, None], tree.child_idx, 0), axis=1)
+    g = jnp.where(nxt < 0, iota, nxt)
+    perm = (g[:, None] == iota[None, :]).astype(jnp.bfloat16)
+    for _ in range(max(1, math.ceil(math.log2(max(c, 2))))):
+        perm = (lax.dot_general(
+            perm, perm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) > 0).astype(jnp.bfloat16)
+    fix = lax.dot_general(
+        perm, iota.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    f = fix[0]
+
+    fscores = scores[f]
+    actions = jnp.argsort(-fscores)[:k].astype(jnp.int32)  # stable: ties -> low action
+    active = fscores[actions] > -jnp.inf
+    ch = tree.child_idx[f, actions]                        # (k,)
+    tgt = fix[jnp.maximum(ch, 0)]
+    leaf_p = jnp.where(ch < 0, f, tgt)
+    leaf_a = jnp.where(ch < 0, actions, best[tgt])
+    return leaf_p, leaf_a, active
+
+
 def _collect_leaves(tree: Tree, k: int, c_puct: float):
     """Phase 1 of a round: pick k leaf edges (boards are stepped in one
-    batched call outside the per-game vmap — see simulate_round)."""
+    batched call outside the per-game vmap — see simulate_round).
+    Implementation chosen statically by capacity (see
+    _collect_leaves_squaring)."""
+    if tree.parent.shape[0] <= _MXU_DESCENT_MAX_ROWS:
+        return _collect_leaves_squaring(tree, k, c_puct)
     f = _find_frontier(tree, c_puct)
     scores = _puct_scores(tree, f, c_puct)
     actions = jnp.argsort(-scores)[:k].astype(jnp.int32)  # stable: ties -> low action
