@@ -183,9 +183,13 @@ def main():
     rows["leaf features (B,k) x4 rounds"] = t_lf * 4 * 1000
 
     # --- one full search round (net+env+features+select+backup) ------
+    # slot_base mirrors run_search round 0 (capacity - simulations):
+    # without it the round takes the per-game scatter fallback, which
+    # the production path never runs (r2's trace profiled that fallback
+    # and over-read the scatter + layout-copy categories)
     sr_j = jax.jit(lambda t, r: simulate_round(
         t, lambda x: predict(variables, x), r, batch_size=k,
-        use_symmetry=True))
+        use_symmetry=True, slot_base=search.capacity() - sims))
     t_round = _timeit(sr_j, trees0, jax.random.PRNGKey(2))
     rows["simulate_round x4 (full search)"] = t_round * 4 * 1000
 
