@@ -155,6 +155,17 @@ class TrainConfig:
     # 'reference' applies mse+crossentropy to BOTH heads (model.py:49-52
     # quirk); 'agz' is crossentropy(policy) + mse(value).
     loss_mode: str = "agz"
+    # ReduceLROnPlateau (reference main_training.py:72): after
+    # `lr_plateau_patience` train phases without loss improvement, LR is
+    # multiplied by `lr_plateau_factor` (0.0 disables), floored at
+    # `lr_min`.
+    lr_plateau_factor: float = 0.0
+    lr_plateau_patience: int = 8
+    lr_min: float = 1e-4
+    # Abort a train phase after this many CONSECUTIVE non-finite-loss
+    # batches (each one skips its update; reference TerminateOnNaN,
+    # train.py:34).
+    max_consecutive_nonfinite: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -230,7 +241,8 @@ def strength_9x9(**overrides) -> Config:
                                 game_batch=512, resignation_percent=1.0),
         train=TrainConfig(batch_size=256, iters_per_epoch=64,
                           epochs_per_save=4, replay_window=80_000,
-                          lr=2e-2),
+                          lr=2e-2, lr_plateau_factor=0.5,
+                          lr_plateau_patience=12, lr_min=2e-3),
         # 128 gate games: at margin .55 a true-50% pair false-promotes
         # with p~=.08 on 64 games but ~.013 on 128 (the reference gates
         # on 100, conf.py:52) — with the decorrelated per-game-symmetry

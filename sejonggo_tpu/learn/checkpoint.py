@@ -14,13 +14,16 @@ gap).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
 from flax import serialization
+
+logger = logging.getLogger("sejonggo_tpu.checkpoint")
 
 
 class CheckpointStore:
@@ -31,16 +34,27 @@ class CheckpointStore:
 
     # --- naming (reference model_<N> scheme) ---------------------------
 
-    def latest_name(self) -> Optional[str]:
-        """Max-index scan, reference model.py:125-144."""
-        best = None
-        index = -1
+    def model_names(self) -> List[str]:
+        """All model_<N> checkpoints, newest first, skipping obviously
+        unreadable files (empty / vanished mid-scan)."""
+        found = []
         for fn in os.listdir(self.model_dir):
             m = re.fullmatch(r"(model_(\d+))\.msgpack", fn)
-            if m and int(m.group(2)) > index:
-                index = int(m.group(2))
-                best = m.group(1)
-        return best
+            if not m:
+                continue
+            try:
+                if os.path.getsize(os.path.join(self.model_dir, fn)) == 0:
+                    logger.warning("skipping empty checkpoint %s", fn)
+                    continue
+            except OSError:
+                continue
+            found.append((int(m.group(2)), m.group(1)))
+        return [name for _, name in sorted(found, reverse=True)]
+
+    def latest_name(self) -> Optional[str]:
+        """Max-index scan, reference model.py:125-144."""
+        names = self.model_names()
+        return names[0] if names else None
 
     def next_name(self) -> str:
         """Reference train.py:29-31: increment the latest index."""
@@ -70,14 +84,20 @@ class CheckpointStore:
         return os.path.join(self.model_dir, f"{name}.msgpack")
 
     def save_state(self, name: str, state) -> None:
+        """Atomic write (tmp + os.replace): a crash mid-save must never
+        leave a torn model_<N>.msgpack that latest_name()/best would then
+        serve forever (other deployment roles poll this directory)."""
         payload = {
             "params": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats),
             "opt_state": jax.device_get(state.opt_state),
             "step": np.asarray(state.step),
         }
-        with open(self._path(name), "wb") as f:
+        path = self._path(name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(payload))
+        os.replace(tmp, path)
 
     def load_state(self, name: str, template) -> Any:
         """Restore into a TrainState-shaped template (same net/optimizer)."""
@@ -95,6 +115,34 @@ class CheckpointStore:
             opt_state=restored["opt_state"],
             step=jax.numpy.asarray(restored["step"]),
         )
+
+    def load_state_or_fallback(self, name: str, template) -> Any:
+        """Load `name`; on failure (missing/torn file — e.g. a dangling
+        best pointer or a checkpoint corrupted by a crash mid-write
+        before saves were atomic) fall back to the newest loadable
+        model with a loud warning instead of crashing the run.
+
+        Reference posture: idempotent resume (selfplay_worker.py:84-90)
+        — a wedged artifact must not brick every role polling the
+        directory."""
+        try:
+            return self.load_state(name, template)
+        except Exception as e:  # noqa: BLE001 — any parse/IO failure
+            logger.error("checkpoint %r unreadable (%s); falling back to "
+                         "newest loadable model", name, e)
+            for cand in self.model_names():
+                if cand == name:
+                    continue
+                try:
+                    state = self.load_state(cand, template)
+                except Exception as e2:  # noqa: BLE001
+                    logger.error("checkpoint %r also unreadable (%s)",
+                                 cand, e2)
+                    continue
+                logger.warning("serving %r in place of unreadable %r",
+                               cand, name)
+                return state
+            raise
 
     def load_variables(self, name: str, template) -> Dict:
         """Just the network variables (for inference/eval workers)."""

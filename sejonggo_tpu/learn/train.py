@@ -48,6 +48,55 @@ def make_optimizer(lr: float = 1e-2, momentum: float = 0.9,
     )
 
 
+class PlateauScheduler:
+    """ReduceLROnPlateau (reference main_training.py:72, which monitors
+    policy_out_acc; here the monitored metric is the per-phase mean
+    training loss, mode=min).  After `patience` consecutive phases
+    without improvement > `min_delta`, the LR is multiplied by `factor`
+    (floored at `min_lr`) and the wait counter resets.
+
+    Pure host-side bookkeeping: the caller rebuilds its optimizer /
+    train step when `update()` returns a new LR (SGD's momentum trace is
+    structurally independent of the LR, so optimizer state carries
+    over and old checkpoints stay loadable).
+    """
+
+    def __init__(self, lr: float, factor: float = 0.5, patience: int = 8,
+                 min_lr: float = 1e-4, min_delta: float = 1e-3):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.min_delta = min_delta
+        self.best = float("inf")
+        self.wait = 0
+
+    def update(self, metric: float) -> Optional[float]:
+        """Feed one phase's metric; returns the new LR if it changed."""
+        import math
+
+        if not math.isfinite(metric):
+            return None  # nonfinite phases don't count toward plateau
+        if metric < self.best - self.min_delta:
+            self.best = metric
+            self.wait = 0
+            return None
+        self.wait += 1
+        if self.wait < self.patience or self.lr <= self.min_lr:
+            return None
+        self.lr = max(self.lr * self.factor, self.min_lr)
+        self.wait = 0
+        return self.lr
+
+    def state_dict(self) -> dict:
+        return {"lr": self.lr, "best": self.best, "wait": self.wait}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = d["lr"]
+        self.best = d["best"]
+        self.wait = d["wait"]
+
+
 def init_train_state(net, variables, tx) -> TrainState:
     return TrainState(
         params=variables["params"],
@@ -76,11 +125,27 @@ def make_train_step(net, tx, loss_mode: str = "agz",
                 logits, values, policy_targets, value_targets, loss_mode)
             return total, (mut["batch_stats"], metrics)
 
-        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+        (total, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
+        # Non-finite guard (reference TerminateOnNaN, train.py:34): a
+        # NaN/inf loss or gradient skips the whole update — params,
+        # batch stats and optimizer state keep their old values — and is
+        # reported in metrics['nonfinite'] so the caller can count and
+        # abort after K consecutive poisoned batches.
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(total) & jnp.isfinite(gnorm)
+        keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+            lambda n, o: jnp.where(ok, n, o), new, old)
+        new_state = TrainState(
+            keep(new_params, state.params),
+            keep(new_stats, state.batch_stats),
+            keep(new_opt, state.opt_state),
+            state.step + ok.astype(jnp.int32))
+        metrics = dict(metrics, grad_norm=gnorm,
+                       nonfinite=(~ok).astype(jnp.float32))
+        return new_state, metrics
 
     from sejonggo_tpu.utils.platform import donate_argnums
 

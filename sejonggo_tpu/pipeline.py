@@ -86,7 +86,17 @@ class Pipeline:
         self.store = CheckpointStore(os.path.join(workdir, cfg.model_dir))
         self.net = AZNet.from_config(cfg.go.size, cfg.net)
         self.predict = make_predict_fn(self.net)
-        self.tx = make_optimizer(cfg.train.lr, cfg.train.momentum, cfg.net.l2)
+        self.lr = cfg.train.lr
+        self.tx = make_optimizer(self.lr, cfg.train.momentum, cfg.net.l2)
+        # ReduceLROnPlateau (reference main_training.py:72); None = off
+        self.plateau = None
+        if cfg.train.lr_plateau_factor:
+            from sejonggo_tpu.learn.train import PlateauScheduler
+
+            self.plateau = PlateauScheduler(
+                self.lr, factor=cfg.train.lr_plateau_factor,
+                patience=cfg.train.lr_plateau_patience,
+                min_lr=cfg.train.lr_min)
         axis = cfg.dist.mesh_axis_name
         if mesh is not None:
             self.train_mesh = self.actor_mesh = mesh
@@ -138,6 +148,20 @@ class Pipeline:
         self.rng, sub = jax.random.split(self.rng)
         return sub
 
+    def set_lr(self, lr: float) -> None:
+        """Change the learning rate by rebuilding optimizer + train
+        step.  SGD's momentum-trace opt_state is structurally identical
+        at any LR, so checkpointed optimizer state stays loadable (this
+        is why the LR is not baked into the opt_state via
+        inject_hyperparams).  Costs one train-step recompile."""
+        self.lr = lr
+        self.tx = make_optimizer(lr, self.cfg.train.momentum,
+                                 self.cfg.net.l2)
+        self.train_step = make_train_step(
+            self.net, self.tx, self.cfg.train.loss_mode,
+            mesh=self.train_mesh, dp_axis=self.mesh_axis)
+        logger.info("learning rate set to %g", lr)
+
     def _put_train_batch(self, arr):
         """Global dp-sharded train batch from this host's local sample
         (multi-host: each process contributes its local replay rows)."""
@@ -172,7 +196,9 @@ class Pipeline:
         return init_train_state(self.net, variables, self.tx)
 
     def load(self, name: str):
-        return self.store.load_state(name, self._template_state())
+        # fallback: a dangling/torn checkpoint degrades to the newest
+        # loadable model with a loud warning (learn/checkpoint.py)
+        return self.store.load_state_or_fallback(name, self._template_state())
 
     # --- phases ---------------------------------------------------------
 
@@ -334,26 +360,66 @@ class Pipeline:
         state = self.load(latest)
         steps = cfg.train.epochs_per_save * cfg.train.iters_per_epoch
         t0 = time.time()
-        last_metrics = {}
         local_bs = self._local_train_batch_size
-        for _ in range(steps):
-            boards, policies, values = self.replay.sample(local_bs)
-            state, metrics = self.train_step(
-                state, self._put_train_batch(boards),
-                self._put_train_batch(policies),
-                self._put_train_batch(values))
-            last_metrics = metrics
+        # per-step loss curves, downsampled (reference streams per-step
+        # TB scalars via the fake-epoch trick, train.py:63-70)
+        log_every = max(1, steps // 32)
+        curve_keys = ("loss", "policy_ce", "value_mse", "grad_norm")
+        sums, n_logged = {}, 0
+        skipped = consecutive_bad = 0
+        try:
+            for i in range(steps):
+                boards, policies, values = self.replay.sample(local_bs)
+                state, metrics = self.train_step(
+                    state, self._put_train_batch(boards),
+                    self._put_train_batch(policies),
+                    self._put_train_batch(values))
+                if (i + 1) % log_every == 0 or i + 1 == steps:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    self.metrics.log("train_step", phase="train",
+                                     model=latest, step=i + 1, lr=self.lr,
+                                     **m)
+                    # nonfinite batches skip their update inside the jit
+                    # (learn/train.py NaN guard); count the whole logged
+                    # window as bad so K consecutive windows abort
+                    if m.get("nonfinite"):
+                        skipped += 1
+                        consecutive_bad += 1
+                        limit = cfg.train.max_consecutive_nonfinite
+                        if consecutive_bad >= max(limit // log_every, 2):
+                            raise FloatingPointError(
+                                f"{consecutive_bad} consecutive non-finite "
+                                f"training windows (step {i + 1})")
+                    else:
+                        consecutive_bad = 0
+                        for k in curve_keys:
+                            if k in m:
+                                sums[k] = sums.get(k, 0.0) + m[k]
+                        n_logged += 1
+        except BaseException:
+            # crash-save (reference atexit exit_backup.h5 save,
+            # main_training.py:22-25,101): keep the in-flight state
+            self._save_state_global("exit_backup", state)
+            logger.exception("train phase aborted; state saved as "
+                             "'exit_backup'")
+            raise
         name = self.store.next_name()
         self._save_state_global(name, state)
         dt = time.time() - t0
+        means = {k: v / max(n_logged, 1) for k, v in sums.items()}
         stats = {
             "from": latest, "to": name, "steps": steps,
             "seconds": dt, "steps_per_s": steps / max(dt, 1e-9),
             "samples_per_s": steps * cfg.train.batch_size / max(dt, 1e-9),
-            **{k: float(v) for k, v in last_metrics.items()},
+            "lr": self.lr, "nonfinite_windows": skipped,
+            **means,
         }
         logger.info("train: %s", stats)
         stats = dict(self.metrics.log("train", phase="train", **stats))
+        if self.plateau is not None and "loss" in means:
+            new_lr = self.plateau.update(means["loss"])
+            if new_lr is not None:
+                self.set_lr(new_lr)
         return stats
 
     def _save_state_global(self, name: str, state) -> None:
@@ -489,6 +555,8 @@ class Pipeline:
                 "min_values": self.calibrator.min_values,
                 "current": self.calibrator.current,
             },
+            "lr": self.lr,
+            "plateau": self.plateau.state_dict() if self.plateau else None,
         }
         meta_path = os.path.join(
             self.workdir, f"run_state{self._run_state_suffix}.json")
@@ -512,6 +580,11 @@ class Pipeline:
             jnp.asarray(meta["rng"], jnp.uint32))
         self.calibrator.min_values = meta["calibrator"]["min_values"]
         self.calibrator.current = meta["calibrator"]["current"]
+        if self.plateau is not None and meta.get("plateau"):
+            self.plateau.load_state_dict(meta["plateau"])
+        lr = meta.get("lr", self.lr)
+        if lr != self.lr:
+            self.set_lr(lr)
         return True
 
     def run(self, generations: int = 1, selfplay_games: int = 0):
