@@ -284,6 +284,27 @@ class GTPFrontend:
             return "0"
         return ("B+" if w == 1 else "W+") + str(abs(float(b) - float(wh)))
 
+    def sg_showtree(self, max_depth="2", top_k="5"):
+        """Debug dump of the reused search tree + consistency check
+        (reference show_tree/tree_depth play.py:355-374; private
+        extension command, hence the sg_ prefix)."""
+        from sejonggo_tpu.search import tree_debug
+
+        t = getattr(self.engine, "tree", None)
+        if t is None or not getattr(self.engine, "tree_valid", False):
+            return "no tree (genmove first)"
+        if not hasattr(t, "child_idx"):
+            return "engine has no array tree"
+        ht = tree_debug.extract_tree(t, 0)
+        out = tree_debug.show_tree(ht, self.engine.size,
+                                   int(max_depth), int(top_k))
+        problems = tree_debug.check_consistency(ht)
+        if problems:
+            out += "\nINCONSISTENT: " + "; ".join(problems[:5])
+        pv = tree_debug.principal_variation(ht, self.engine.size)
+        out += "\npv: " + " ".join(c for c, _, _ in pv)
+        return "\n" + out
+
     def quit(self):
         self._quit = True
         return ""

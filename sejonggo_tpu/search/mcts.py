@@ -165,7 +165,17 @@ def _collect_leaves_squaring(tree: Tree, k: int, c_puct: float):
     per-element dynamic gathers are latency-bound — measured 2.0 ms
     PER DOUBLING on the (3072, 82) table (~8 ns/element), 7x that lost
     the whole rework; the squaring runs the same chase as a few
-    batched 82x82 matmuls."""
+    batched 82x82 matmuls.
+
+    PRECONDITION (load-bearing): the tree is acyclic with children at
+    strictly LARGER slot indices than their parent — child slots are
+    allocated after their parents in _expand_backup and _advance_root's
+    compaction is topological (parents first), so g is strictly
+    increasing where it moves and every chase reaches its fixpoint
+    within C-1 hops < 2^ceil(log2 C) squarings.  A future slot
+    allocator that breaks parent<child (e.g. slot reuse) would make
+    some chases cycle and this fixpoint argument silently wrong —
+    check_consistency in tree_debug.py asserts the invariant."""
     scores = _puct_scores_all(tree, c_puct)                # (C, A)
     best = jnp.argmax(scores, axis=1).astype(jnp.int32)    # ties -> low action
     c, a_dim = scores.shape

@@ -384,6 +384,35 @@ def test_keep_subtree_impls_agree():
             assert a[nr]
 
 
+def test_collect_leaves_paths_bit_identical(monkeypatch):
+    """The squaring descent (capacity <= _MXU_DESCENT_MAX_ROWS) and the
+    while-loop descent (the 19x19-class fallback) must pick bit-identical
+    (leaf_p, leaf_a, active) on the same frozen tree (ADVICE r3: the
+    suite's CAP=64 exercised only the squaring path)."""
+    import sejonggo_tpu.search.mcts as mcts_mod
+
+    for cap in (64, 82, 146):
+        for k in (1, 4, 16):
+            boards = jnp.stack([engine.init_board(SIZE)] * 2)
+            policies, _ = dummy_predict_fn(boards)
+            trees = new_tree_batch(policies, boards, cap)
+            trees = run_search(trees, dummy_predict_fn,
+                               jax.random.PRNGKey(cap + k),
+                               simulations=24, batch_size=8)
+
+            def collect(t, kk):
+                return jax.jit(jax.vmap(
+                    lambda tr: _collect_leaves(tr, kk, 1.0)))(t)
+
+            p1, a1, act1 = collect(trees, k)
+            monkeypatch.setattr(mcts_mod, "_MXU_DESCENT_MAX_ROWS", 0)
+            p2, a2, act2 = collect(trees, k)
+            monkeypatch.undo()
+            assert np.array_equal(np.asarray(p1), np.asarray(p2)), (cap, k)
+            assert np.array_equal(np.asarray(a1), np.asarray(a2)), (cap, k)
+            assert np.array_equal(np.asarray(act1), np.asarray(act2))
+
+
 def test_advance_root_large_capacity_doubling_path():
     """Re-rooting at a capacity above the closure/doubling switch
     (C>512) goes through _keep_subtree_doubling; semantics must match
