@@ -452,17 +452,24 @@ class Pipeline:
         t0 = time.time()
         last_metrics = {}
         done_steps = 0
-        for boards, policies, values in stream:
-            state, metrics = self.train_step(
-                state, self._put_train_batch(boards),
-                self._put_train_batch(policies),
-                self._put_train_batch(values))
-            last_metrics = metrics
-            done_steps += 1
-            if backup_every and done_steps % backup_every == 0:
-                self._save_state_global("backup", state)
-            if done_steps >= steps:
-                break
+        try:
+            for boards, policies, values in stream:
+                state, metrics = self.train_step(
+                    state, self._put_train_batch(boards),
+                    self._put_train_batch(policies),
+                    self._put_train_batch(values))
+                last_metrics = metrics
+                done_steps += 1
+                if backup_every and done_steps % backup_every == 0:
+                    self._save_state_global("backup", state)
+                if done_steps >= steps:
+                    break
+        except BaseException:
+            # reference atexit crash-save (main_training.py:22-25,101)
+            self._save_state_global("exit_backup", state)
+            logger.exception("kgs pretrain aborted; state saved as "
+                             "'exit_backup'")
+            raise
         name = self.store.next_name()
         self._save_state_global(name, state)
         dt = time.time() - t0

@@ -44,6 +44,10 @@ from sejonggo_tpu.search.tree import Tree
 # (A/B-tunable; see _take_rows_mxu docstring for the measurement)
 _MXU_GATHER_MAX_ROWS = 4096
 
+# separate cutoff for the matmul ancestor-chain hops in leaf_features
+# (independently A/B-toggleable; same all-C-rows-read argument)
+_MXU_CHAIN_MAX_ROWS = 4096
+
 
 def _take_rows_mxu(table, idx):
     """Row gather as a one-hot matmul on the MXU: (B, C, R) table,
@@ -96,6 +100,41 @@ def _puct_scores_all(tree: Tree, c_puct: float):
 # capacities, prohibitive at 19x19-class (C=2218: ~4 TFLOP per round)
 # where the while-loop descent is noise under the 20-block network
 _MXU_DESCENT_MAX_ROWS = 512
+
+# capacity cutoff for the transitive-closure backup (same O(C^2)-memory
+# squaring argument as the descent; the while-loop backup stays the
+# 19x19-class path).  Requires static expansion slots (slot_base).
+_CLOSURE_BACKUP_MAX_ROWS = 512
+
+
+def _signed_reach(parent, negamax: bool):
+    """(C, C) ancestor-or-self matrix M by permutation squaring:
+    M[c, d] = 1 if d is an ancestor of c or c itself, else 0 — signed
+    by (-1)^(depth(c) - depth(d)) when `negamax` (each parent hop
+    contributes a factor -1, exactly the per-level value flip of the
+    negamax backup).
+
+    Exactness: parent chains are unique paths, so every nonzero entry
+    of M@M is a same-sign multiplicity (< C, exact in the f32
+    accumulator); jnp.sign renormalizes to {-1, 0, 1} (exact in bf16)
+    after each squaring.  Row 0's hop is removed (the parent[0] == 0
+    self-loop would create longer root walks of alternating sign and
+    cancel entries in the signed case).
+
+    PRECONDITION: acyclic tree with parent slots < child slots (same
+    invariant as _collect_leaves_squaring; checked by
+    tree_debug.check_consistency)."""
+    c = parent.shape[0]
+    iota = jnp.arange(c, dtype=jnp.int32)
+    hop = (parent[:, None] == iota[None, :]) & (iota[:, None] != 0)
+    sign = -1.0 if negamax else 1.0
+    m = (jnp.eye(c, dtype=jnp.float32)
+         + sign * hop.astype(jnp.float32)).astype(jnp.bfloat16)
+    for _ in range(max(1, math.ceil(math.log2(max(c, 2))))):
+        m = jnp.sign(lax.dot_general(
+            m, m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)).astype(jnp.bfloat16)
+    return m
 
 
 def _puct_scores(tree: Tree, n, c_puct: float):
@@ -276,6 +315,50 @@ def _expand_backup(tree: Tree, leaf_p, leaf_a, leaf_stones, leaf_side,
     else:
         init_vals = jnp.where(leaf_player == root_player, v, -v)
 
+    cdim = parent.shape[0]
+    if slot_base is not None and cdim <= _CLOSURE_BACKUP_MAX_ROWS:
+        # CLOSURE BACKUP: the while-loop climb (max-depth iterations of
+        # (k,)-wide scatter-adds + parent gathers — the 'while' + part
+        # of the gather/fusion HLO categories, ~7-10% of a 9x9 round,
+        # PROFILE_9x9.md) collapses into one reachability matrix.  The
+        # loop adds (1, val*(-1)^d in negamax, else val) to the edge
+        # into every ancestor x of the new leaf slot s (d = depth(s) -
+        # depth(x)); node-centric that is dN[x] = sum_l |M[s_l, x]|,
+        # dV[x] = sum_l val_l * M[s_l, x] with M the (signed) ancestor
+        # matrix — then ONE C-wide scatter puts the node deltas on the
+        # edges (parent[x], parent_action[x]).  Addend sets per edge are
+        # identical to the loop's; only f32 summation order differs.
+        # Requires static slots: the new leaves sit at
+        # [slot_base, slot_base + k), so their M rows are a contiguous
+        # static slice.
+        rows = lax.dynamic_slice(
+            _signed_reach(parent, negamax),
+            (base, jnp.asarray(0, jnp.int32)), (k, cdim)
+        ).astype(jnp.float32)                                   # (k, C)
+        act_f = active.astype(jnp.float32)
+        vals_m = jnp.where(active, init_vals, 0.0)
+        d_n = jnp.sum(act_f[:, None] * jnp.abs(rows), axis=0)   # (C,)
+        d_v = jnp.sum(vals_m[:, None] * rows, axis=0)           # (C,)
+        # root (parent_action -1) and inactive slots route to an
+        # out-of-bounds column and are dropped (negative indices would
+        # WRAP under numpy semantics)
+        a_dim = tree.child_N.shape[1]
+        pa = jnp.where(parent_action < 0, a_dim, parent_action)
+        cn = tree.child_N.at[parent, pa].add(
+            d_n.astype(jnp.int32), mode="drop")
+        cw = tree.child_W.at[parent, pa].add(d_v, mode="drop")
+        rn = tree.root_N + jnp.sum(active.astype(jnp.int32))
+        # negamax: the loop's root deposit is the depth-1 ancestor's
+        # value = val*(-1)^(depth(s)-1) = -val*M[s, 0]
+        rw = tree.root_W + (-d_v[0] if negamax else d_v[0])
+        return tree._replace(
+            node_stones=node_stones, node_side=node_side,
+            node_P=node_P, node_legal=node_legal,
+            child_N=cn, child_W=cw, child_idx=child_idx,
+            parent=parent, parent_action=parent_action,
+            n_nodes=n_nodes, root_N=rn, root_W=rw,
+        )
+
     # All k leaves climb to the root in lockstep: one (k,)-wide
     # scatter-add per tree level instead of k sequential walks
     # (max-depth iterations, not sum-of-depths — the dominant cost of a
@@ -385,20 +468,48 @@ def leaf_features(trees: Tree, leaf_p, leaf_stones, leaf_side, sym=None):
 
     # ancestor chain a_j (j = 1..7): leaf's parent node, grandparent, ...
     # (parent[0] == 0, so the chain parks at the root slot)
-    idx = leaf_p
-    chain_idx = []
-    for _ in range(7):
-        chain_idx.append(idx)
-        idx = jnp.take_along_axis(trees.parent, idx, axis=1)
-    a = jnp.stack(chain_idx, axis=2)  # (B, k, 7)
+    if c <= _MXU_CHAIN_MAX_ROWS:
+        # one-hot matmul hops: the 7 parent chases are DEPENDENT
+        # per-element gathers (~8 ns/element on this chip — a few ms
+        # per round at B=3072, the biggest slice of the gather HLO
+        # category).  As one-hot rows they are k x C @ C x C matmuls:
+        # cur stays exactly one-hot (each hop row of the parent matrix
+        # is one-hot, products/sums exact in bf16/f32), the root
+        # self-loop parks chains like the gather did, and the stone
+        # rows come out of the same matmul pipeline.
+        iota_c = jnp.arange(c, dtype=jnp.int32)
+        poh = (trees.parent[:, :, None] == iota_c[None, None, :]
+               ).astype(jnp.bfloat16)                       # (B, C, C)
+        cur = (leaf_p[:, :, None] == iota_c[None, None, :]
+               ).astype(jnp.bfloat16)                       # (B, k, C)
+        hops, hits = [], []
+        for _ in range(7):
+            hops.append(cur)
+            hits.append(cur[:, :, 0] > 0.5)                 # at root?
+            cur = jnp.einsum("bkc,bcd->bkd", cur, poh,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.bfloat16)
+        hit = jnp.stack(hits, axis=2)                       # (B, k, 7)
+        chain_oh = jnp.concatenate(hops, axis=1)            # (B, 7k, C)
+        chain = jnp.einsum("bgc,bcr->bgr", chain_oh,
+                           node_flat.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.int8)
+        chain = chain.reshape(b, 7, k, nn).swapaxes(1, 2)   # (B, k, 7, nn)
+    else:
+        idx = leaf_p
+        chain_idx = []
+        for _ in range(7):
+            chain_idx.append(idx)
+            idx = jnp.take_along_axis(trees.parent, idx, axis=1)
+        a = jnp.stack(chain_idx, axis=2)  # (B, k, 7)
+        hit = a == 0
+        chain = _take_rows_mxu(node_flat, a.reshape(b, k * 7))
+        chain = chain.reshape(b, k, 7, nn)
 
     # m = first chain step that is the root slot (8 = never within 7)
-    hit = a == 0
     m = jnp.where(hit.any(axis=2), 1 + jnp.argmax(hit, axis=2), 8)
     m = m.astype(jnp.int32)[:, :, None]  # (B, k, 1)
-
-    chain = _take_rows_mxu(node_flat, a.reshape(b, k * 7))
-    chain = chain.reshape(b, k, 7, nn)
 
     jr = jnp.arange(1, 8, dtype=jnp.int32)[None, None, :]  # pair offset
     onchain = jr <= m                                       # (B, k, 7)
@@ -455,7 +566,8 @@ def simulate_round(trees: Tree, predict_fn: Callable, rng, *, batch_size: int,
     # place/capture/suicide/ko/liberty sequence runs as one
     # VMEM-resident Pallas kernel (engine.step_and_illegal_stones_batch)
     parent_stones = _take_rows_mxu(trees.node_stones, leaf_p)
-    parent_side = jnp.take_along_axis(trees.node_side, leaf_p, axis=1)
+    parent_side = _take_rows_mxu(
+        trees.node_side[:, :, None], leaf_p)[:, :, 0]
     flat_stones, flat_illegal = engine.step_and_illegal_stones_batch(
         parent_stones.reshape(b * k, n, n),
         parent_side.reshape(-1), leaf_a.reshape(-1))

@@ -413,6 +413,41 @@ def test_collect_leaves_paths_bit_identical(monkeypatch):
             assert np.array_equal(np.asarray(act1), np.asarray(act2))
 
 
+def test_closure_backup_matches_loop_backup(monkeypatch):
+    """The transitive-closure backup (static-slot path) must produce
+    the same tree as the while-loop climb: identical child_N /
+    child_idx / root_N, child_W equal up to f32 summation order, in
+    both backup modes (reference and negamax)."""
+    import sejonggo_tpu.search.mcts as mcts_mod
+
+    for negamax in (False, True):
+        for cap, sims, k in ((64, 24, 8), (146, 32, 16)):
+            boards = jnp.stack([engine.init_board(SIZE)] * 3)
+            policies, _ = dummy_predict_fn(boards)
+
+            def search():
+                trees = new_tree_batch(policies, boards, cap)
+                return run_search(trees, dummy_predict_fn,
+                                  jax.random.PRNGKey(cap + k),
+                                  simulations=sims, batch_size=k,
+                                  negamax=negamax)
+
+            t_closure = search()
+            monkeypatch.setattr(mcts_mod, "_CLOSURE_BACKUP_MAX_ROWS", 0)
+            t_loop = search()
+            monkeypatch.undo()
+            assert np.array_equal(np.asarray(t_closure.child_N),
+                                  np.asarray(t_loop.child_N)), (negamax, cap)
+            assert np.array_equal(np.asarray(t_closure.child_idx),
+                                  np.asarray(t_loop.child_idx))
+            assert np.array_equal(np.asarray(t_closure.root_N),
+                                  np.asarray(t_loop.root_N))
+            assert np.allclose(np.asarray(t_closure.child_W),
+                               np.asarray(t_loop.child_W), atol=1e-5)
+            assert np.allclose(np.asarray(t_closure.root_W),
+                               np.asarray(t_loop.root_W), atol=1e-5)
+
+
 def test_advance_root_large_capacity_doubling_path():
     """Re-rooting at a capacity above the closure/doubling switch
     (C>512) goes through _keep_subtree_doubling; semantics must match
