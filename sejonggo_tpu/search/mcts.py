@@ -234,13 +234,25 @@ def _collect_leaves_squaring(tree: Tree, k: int, c_puct: float):
         preferred_element_type=jnp.float32).astype(jnp.int32)
     f = fix[0]
 
-    fscores = scores[f]
+    # Row/element selects as compare+reduce (each picks exactly one
+    # entry, so the masked max/sum IS that entry — exact for floats and
+    # ints alike): under the B-vmap these were five (B, k)-shaped
+    # per-element gathers at ~8 ns/element (the same latency wall as
+    # the pointer-doubling descent this function replaced).
+    f_oh = iota == f                                            # (C,)
+    fscores = jnp.max(jnp.where(f_oh[:, None], scores, -jnp.inf), axis=0)
     actions = jnp.argsort(-fscores)[:k].astype(jnp.int32)  # stable: ties -> low action
-    active = fscores[actions] > -jnp.inf
-    ch = tree.child_idx[f, actions]                        # (k,)
-    tgt = fix[jnp.maximum(ch, 0)]
+    act_oh = actions[:, None] == jnp.arange(a_dim, dtype=jnp.int32)[None, :]
+    sel = jnp.sum(jnp.where(act_oh, fscores[None, :], 0.0), axis=1)
+    active = sel > -jnp.inf
+    row_ci = jnp.max(jnp.where(f_oh[:, None], tree.child_idx, -2), axis=0)
+    ch = jnp.sum(jnp.where(act_oh, row_ci[None, :], 0), axis=1)   # (k,)
+    t_oh = jnp.maximum(ch, 0)[:, None] == iota[None, :]           # (k, C)
+    tgt = jnp.sum(jnp.where(t_oh, fix[None, :], 0), axis=1)
+    b_oh = tgt[:, None] == iota[None, :]
+    best_tgt = jnp.sum(jnp.where(b_oh, best[None, :], 0), axis=1)
     leaf_p = jnp.where(ch < 0, f, tgt)
-    leaf_a = jnp.where(ch < 0, actions, best[tgt])
+    leaf_a = jnp.where(ch < 0, actions, best_tgt)
     return leaf_p, leaf_a, active
 
 
