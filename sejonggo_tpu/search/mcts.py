@@ -106,6 +106,13 @@ _MXU_DESCENT_MAX_ROWS = 512
 # 19x19-class path).  Requires static expansion slots (slot_base).
 _CLOSURE_BACKUP_MAX_ROWS = 512
 
+# matmul precision of the re-rooting compaction (see _advance_root).
+# HIGHEST, deliberately: the A/B (scripts/ab_microsteps.py) measured
+# Precision.HIGH as SLOWER on v5e (47.6 vs 44.0 ms isolated) and NOT
+# bit-equal (bf16x3 does not split every f32 exactly) — the 6-pass
+# cost is not what bounds re-rooting, its layout work is
+_COMPACT_PRECISION = lax.Precision.HIGHEST
+
 
 def _signed_reach(parent, negamax: bool):
     """(C, C) ancestor-or-self matrix M by permutation squaring:
@@ -837,7 +844,7 @@ def _advance_root(tree: Tree, action, new_root_board, reserve: int = 0):
     ], axis=1)
     wide = jax.lax.dot_general(
         perm, wide, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)
+        precision=_COMPACT_PRECISION)
     off = 0
     node_P = wide[:, off:off + a_dim]
     off += a_dim
