@@ -245,6 +245,13 @@ class GTPFrontend:
             if not c.startswith("_") and callable(getattr(self, c))
             and c not in ("parse_command", "run"))
 
+    def known_command(self, name):
+        """GTP v2 §6.3.4 capability probe (GoGui/Sabaki issue it before
+        using optional commands; the reference frontend lacks it and
+        relies on the GUI falling back to list_commands)."""
+        return ("true" if name in self.list_commands().split("\n")
+                else "false")
+
     def boardsize(self, size):
         if int(size) != self.engine.size:
             raise ValueError(

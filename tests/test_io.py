@@ -110,6 +110,9 @@ def test_gtp_frontend_flow():
     assert gtp.parse_command("7 protocol_version") == "=7 2\n\n"
     assert gtp.parse_command("bogus_cmd").startswith("?")
     assert gtp.parse_command("boardsize 13").startswith("?")
+    # GTP v2 capability probe
+    assert gtp.parse_command("known_command genmove") == "= true\n\n"
+    assert gtp.parse_command("known_command bogus_cmd") == "= false\n\n"
     # clear resets
     gtp.parse_command("clear_board")
     assert np.asarray(eng.board)[:, :, 0].sum() == 0
