@@ -17,7 +17,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_pipeline_generation(tmp_path):
+def _run_generation(workdir):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
     env = dict(os.environ)
@@ -26,7 +26,7 @@ def test_two_process_pipeline_generation(tmp_path):
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(pid), str(tmp_path)],
+            [sys.executable, worker, str(port), str(pid), str(workdir)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for pid in range(2)
@@ -40,6 +40,21 @@ def test_two_process_pipeline_generation(tmp_path):
                 q.kill()
             raise
         outs.append(out)
+    ok = all(p.returncode == 0 and "MH_OK" in out
+             for p, out in zip(procs, outs))
+    return ok, procs, outs
+
+
+def test_two_process_pipeline_generation(tmp_path):
+    # one retry on a fresh port/workdir: the distributed bootstrap +
+    # barriers are wall-clock-sensitive and flake when the machine is
+    # heavily loaded (e.g. the suite sharing the host with a TPU bench);
+    # a real regression fails both attempts
+    ok, procs, outs = _run_generation(tmp_path / "try1")
+    if not ok:
+        ok, procs, outs = _run_generation(tmp_path / "try2")
+    tmp_path = next(d for d in (tmp_path / "try2", tmp_path / "try1")
+                    if d.exists())
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
         assert "MH_OK" in out, out[-4000:]
