@@ -126,6 +126,10 @@ def _bench_search(size, net_cfg, search, game_batch, n_moves, repeats=3,
     for _ in range(warm_moves):
         rng, sub = jax.random.split(rng)
         state2 = step(state2, sub, variables)
+    # drain the async warm dispatches so EVERY timed repeat starts
+    # clean (ADVICE r4: without this the first repeat absorbs the
+    # un-awaited warm moves and the measurement rests on one window)
+    jax.block_until_ready(state2)
 
     dt, _, _ = _timed_move_steps(step, state2, variables, rng, n_moves,
                                  repeats)

@@ -93,11 +93,42 @@ def save_gamebatch_sgfs(gb, *, size: int, komi: float, outdir: str,
 
 def duel(a: str, b: str, *, cfg: Config, model_dir: str, games: int,
          seed: int = 0, max_moves: Optional[int] = None,
-         sgf_dir: Optional[str] = None) -> dict:
+         sgf_dir: Optional[str] = None,
+         michi_sims: Optional[int] = None) -> dict:
     if jax.default_backend() not in ("cpu",):
         from sejonggo_tpu.ops import enable_tpu_kernels
 
         enable_tpu_kernels(True)
+    if b == "michi":
+        # the REAL model-free engine: michi/RAVE search with heuristic
+        # playouts (search/michi.py; reference mcts1/tree_search.py:64-136
+        # at N_SIMS=1400), not the rollout-prior predict_fn standin
+        import dataclasses as _dc
+
+        from sejonggo_tpu.config import MichiConfig
+        from sejonggo_tpu.learn.duel_michi import (play_vs_michi,
+                                                   save_michi_duel_sgfs)
+
+        predict_a, vars_a = _resolve(a, cfg, model_dir)
+        michi_cfg = MichiConfig(komi=cfg.go.komi)
+        if michi_sims:
+            michi_cfg = _dc.replace(michi_cfg, n_sims=michi_sims)
+        res = play_vs_michi(
+            predict_a, vars_a, size=cfg.go.size, komi=cfg.go.komi,
+            search=cfg.search, michi=michi_cfg, game_batch=games,
+            rng=jax.random.PRNGKey(seed), max_moves=max_moves)
+        if sgf_dir is not None:
+            save_michi_duel_sgfs(
+                res, size=cfg.go.size, komi=cfg.go.komi, outdir=sgf_dir,
+                prefix=f"{a}_vs_michi{michi_cfg.n_sims}", net_name=a,
+                michi_name=f"michi-{michi_cfg.n_sims}")
+        out = {k: res[k] for k in ("games", "winrate", "net_wins", "draws",
+                                   "michi_resigns")}
+        out["wins"] = res["net_wins"]
+        out["mean_moves"] = float(res["num_moves"].mean())
+        out["a"], out["b"] = a, f"michi@{michi_cfg.n_sims}"
+        out["elo_diff_a_vs_b"] = elo_diff(res["winrate"])
+        return out
     predict_a, vars_a = _resolve(a, cfg, model_dir)
     predict_b, vars_b = _resolve(b, cfg, model_dir)
     eval_cfg = cfg.eval.__class__(num_games=games, margin=0.5)
@@ -210,9 +241,14 @@ def duel_vs_gtp(checkpoint: str, gtp_command: str, *, cfg: Config,
 
 def main():
     parser = argparse.ArgumentParser(description="sejonggo-tpu duel harness")
-    parser.add_argument("--a", required=True,
-                        help="checkpoint name | best | latest | heuristic | dummy")
-    parser.add_argument("--b", required=True)
+    parser.add_argument(
+        "--a", required=True,
+        help="checkpoint name | best | latest | heuristic | dummy")
+    parser.add_argument("--b", required=True,
+                        help="same as --a, plus 'michi' (the real RAVE "
+                        "engine, search/michi.py)")
+    parser.add_argument("--michi-sims", type=int, default=None,
+                        help="override MichiConfig.n_sims for --b michi")
     parser.add_argument("--games", type=int, default=8)
     parser.add_argument("--preset", choices=["tiny", "strength", "full"],
                         default="tiny")
@@ -230,7 +266,8 @@ def main():
                           games=args.games, seed=args.seed)
     else:
         res = duel(args.a, args.b, cfg=cfg, model_dir=args.model_dir,
-                   games=args.games, seed=args.seed, sgf_dir=args.sgf_dir)
+                   games=args.games, seed=args.seed, sgf_dir=args.sgf_dir,
+                   michi_sims=args.michi_sims)
     print(res)
 
 

@@ -50,11 +50,12 @@ def test_two_process_pipeline_generation(tmp_path):
     # barriers are wall-clock-sensitive and flake when the machine is
     # heavily loaded (e.g. the suite sharing the host with a TPU bench);
     # a real regression fails both attempts
-    ok, procs, outs = _run_generation(tmp_path / "try1")
+    workdir = tmp_path / "try1"
+    ok, procs, outs = _run_generation(workdir)
     if not ok:
-        ok, procs, outs = _run_generation(tmp_path / "try2")
-    tmp_path = next(d for d in (tmp_path / "try2", tmp_path / "try1")
-                    if d.exists())
+        workdir = tmp_path / "try2"
+        ok, procs, outs = _run_generation(workdir)
+    tmp_path = workdir  # assert against the attempt that actually ran
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
         assert "MH_OK" in out, out[-4000:]
