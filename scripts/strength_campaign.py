@@ -62,14 +62,18 @@ def main():
                     "every promotion)")
     ap.add_argument("--target-winrate", type=float, default=0.5)
     ap.add_argument("--max-hours", type=float, default=0.0)
+    ap.add_argument("--preset", choices=["strength", "xl"],
+                    default="strength",
+                    help="xl = strength_9x9_xl: 192 sims/move, calibrated "
+                    "resignation live (round-5 scaled operating point)")
     args = ap.parse_args()
 
-    from sejonggo_tpu.config import strength_9x9
+    from sejonggo_tpu.config import strength_9x9, strength_9x9_xl
     from sejonggo_tpu.learn.duel import duel
     from sejonggo_tpu.pipeline import Pipeline
     from sejonggo_tpu.utils.metrics import setup_logging
 
-    cfg = strength_9x9()
+    cfg = strength_9x9() if args.preset == "strength" else strength_9x9_xl()
     os.makedirs(args.workdir, exist_ok=True)
     model_dir = os.path.join(args.workdir, cfg.model_dir)
     if args.seed_from and not (os.path.isdir(model_dir)
@@ -124,6 +128,13 @@ def main():
             "winrate": r["evaluate"].get("winrate"),
             "best": best, "promotions": len(promotions),
         }
+        # calibrated-resignation telemetry (VERDICT r5: validate the
+        # <=5% winner-resign property live + measure the speedup)
+        sp = r["selfplay"]
+        if sp.get("resign_threshold") is not None or sp.get("resigned_games"):
+            line["resign_threshold"] = sp.get("resign_threshold")
+            line["resigned_games"] = sp.get("resigned_games")
+            line["winner_dip_rate"] = round(sp.get("winner_dip_rate", 0.0), 4)
         print(json.dumps(line), flush=True)
         with open(os.path.join(args.workdir, "campaign.jsonl"), "a") as f:
             f.write(json.dumps(line) + "\n")

@@ -105,6 +105,13 @@ class MichiConfig:
     prob_rsareject: float = 0.5    # PROB_RSAREJECT
     use_ladders: bool = True       # read ladders in priors (fix_atari
     #                                twolib path; expensive_ok analog)
+    # In-tree playout parallelism: k descents (each marking edge_v —
+    # the visit doubles as the virtual loss, reference tree_descend
+    # tree_search.py:35) then ONE batched playout over k*B boards, then
+    # k updates.  The TPU-native form of the reference's pool of
+    # cpu_count() playout processes (tree_search.py:81-107, P7);
+    # 1 = strictly sequential simulations.
+    playout_parallel: int = 16
     komi: float = 5.5
     max_tree_depth: int = 0        # 0 = 2*size^2 at build time
     capacity: int = 0              # node slots; 0 = auto
@@ -248,6 +255,27 @@ def strength_9x9(**overrides) -> Config:
         # on 100, conf.py:52) — with the decorrelated per-game-symmetry
         # eval the gate is honest, so give it the sample size to match.
         eval=EvalConfig(num_games=128),
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def strength_9x9_xl(**overrides) -> Config:
+    """Scaled 9x9 strength operating point (round-5: the 96-sim preset
+    mined out at ~20 generations/promotion, runs/strength_r4c).  Same
+    net shape as `strength_9x9` so committed checkpoints (model_263)
+    seed it directly; the scaling lever is the search: 192 sims/move at
+    k=32 leaves per round (the fastest per-sim round shape measured on
+    this chip, CLAUDE.md k-sweep).  Calibrated resignation is LIVE here
+    (reference self_play.py:310-330) — viable now that the value head
+    is trained — with the cap guarding the cold-start collapse."""
+    base = strength_9x9()
+    cfg = base.replace(
+        search=dataclasses.replace(base.search, simulations=192,
+                                   batch_size=32, max_nodes=256),
+        selfplay=dataclasses.replace(
+            base.selfplay, resignation_percent=0.10,
+            resignation_cap=-0.90, game_batch=384),
+        train=dataclasses.replace(base.train, lr=1e-2),
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 

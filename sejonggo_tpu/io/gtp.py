@@ -177,23 +177,20 @@ class MichiEngine:
         means resign."""
         import dataclasses as _dc
 
-        from sejonggo_tpu.search.michi import michi_genmove_batch
+        from sejonggo_tpu.search.michi import MichiSearcher
 
         if self.player != color:
             self.board = engine._swap_sides(self.board)
-        # jit cache key includes everything the closure captures (cfg via
-        # komi, pattern availability) so a post-hoc change rebuilds
-        # instead of silently reusing a stale closure
-        jit_key = (self.komi, bool(self.patterns))
+        # searcher cache key includes everything the closure captures
+        # (cfg via komi) so a post-hoc change rebuilds instead of
+        # silently reusing a stale closure.  MichiSearcher runs the
+        # search host-chunked — mandatory on the axon TPU tunnel, which
+        # kills single device programs over ~1 min (a full 1400-sim
+        # search is minutes), and a no-op semantically on CPU.
+        jit_key = (self.komi,)
         if self._genmove_jit is None or self._jit_key != jit_key:
             cfg = _dc.replace(self.cfg, komi=self.komi)
-            use_patterns = bool(self.patterns)
-            self._genmove_jit = jax.jit(
-                (lambda b, r, la, rb: michi_genmove_batch(
-                    b, r, cfg, root_bonus=rb, last_actions=la))
-                if use_patterns else
-                (lambda b, r, la: michi_genmove_batch(
-                    b, r, cfg, last_actions=la)))
+            self._genmove_jit = MichiSearcher(cfg)
             self._jit_key = jit_key
         # the opponent's (or our previous) move drives the root CFG
         # locality prior, the reference's largest prior weights
@@ -203,11 +200,11 @@ class MichiEngine:
 
             bonus = root_prior_bonus(self.patterns, self.board,
                                      self.cfg.prior_largepattern)
-            acts, wrs = self._genmove_jit(
+            acts, wrs = self._genmove_jit.genmove(
                 self.board[None], self._split(), last, bonus[None])
         else:
-            acts, wrs = self._genmove_jit(self.board[None], self._split(),
-                                          last)
+            acts, wrs = self._genmove_jit.genmove(
+                self.board[None], self._split(), last)
         action, wr = int(acts[0]), float(wrs[0])
         if wr < self.cfg.resign_thres:
             return 0, self.size + 1, wr

@@ -34,8 +34,8 @@ import numpy as np
 from sejonggo_tpu.config import MichiConfig, SearchConfig
 from sejonggo_tpu.goenv import engine
 from sejonggo_tpu.search import (advance_root_batch, decide_batch,
-                                 michi_genmove_batch, new_tree_batch,
-                                 run_search)
+                                 new_tree_batch, run_search)
+from sejonggo_tpu.search.michi import MichiSearcher, best_root_stats
 
 
 def _tree_where(mask, a, b):
@@ -77,25 +77,35 @@ def _make_net_step(predict_fn: Callable, search: SearchConfig, size: int):
     return net_step
 
 
-def _make_michi_step(michi: MichiConfig, search: SearchConfig, size: int):
-    """Jitted michi move for one half-batch + net-tree advance by the
-    michi action (the net keeps its reusable tree across opponent
-    moves, reference self_play.py:224-238 semantics)."""
+def _make_michi_step(michi: MichiConfig, search: SearchConfig, size: int,
+                     chunk_sims: int = 256):
+    """Michi move for one half-batch + net-tree advance by the michi
+    action (the net keeps its reusable tree across opponent moves,
+    reference self_play.py:224-238 semantics).  The search itself runs
+    through the host-chunked MichiSearcher — a full 1400-sim search is
+    minutes of device time and the axon tunnel kills single programs
+    over ~1 min."""
     pass_action = size * size
+    searcher = MichiSearcher(michi, chunk_sims)
 
     @jax.jit
-    def michi_step(boards, trees, valid, done, last_actions, rng):
-        acts, wrs = michi_genmove_batch(boards, rng, michi,
-                                        last_actions=last_actions)
+    def finish(trees, boards, net_trees, net_valid, done):
+        acts, wrs = jax.vmap(best_root_stats)(trees)
         resign_now = (~done) & (wrs < michi.resign_thres)
         actions = jnp.where(done | resign_now, pass_action, acts)
         new_boards = engine.step_batch(boards, actions)
         frozen = (done | resign_now).reshape(-1, 1, 1, 1)
         new_boards = jnp.where(frozen, boards, new_boards)
-        trees, tvalid = advance_root_batch(trees, actions, new_boards,
-                                           reserve=search.simulations)
-        valid = jnp.where(done | resign_now, valid, valid & tvalid)
-        return new_boards, trees, valid, actions, resign_now
+        net_trees, tvalid = advance_root_batch(net_trees, actions, new_boards,
+                                               reserve=search.simulations)
+        net_valid = jnp.where(done | resign_now, net_valid,
+                              net_valid & tvalid)
+        return new_boards, net_trees, net_valid, actions, resign_now
+
+    def michi_step(boards, net_trees, net_valid, done, last_actions, rng):
+        trees = searcher.search(boards, rng, last_actions=last_actions,
+                                active=~done)
+        return finish(trees, boards, net_trees, net_valid, done)
 
     return michi_step
 

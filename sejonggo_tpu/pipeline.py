@@ -234,8 +234,31 @@ class Pipeline:
         # (the reference numbers game dirs monotonically per model dir)
         archived = self._archive_counts.get(best, 0)
 
+        resigned_games = 0
+        holdout_games = 0
+        holdout_winner_dips = 0
+
         def on_game(game):
-            nonlocal moves, archived
+            nonlocal moves, archived, resigned_games, holdout_games
+            nonlocal holdout_winner_dips
+            # online check of the calibration property (reference
+            # ALLOWED_ERROR=5%, self_play.py:319-330): on each HOLDOUT
+            # game (played to the end), did the eventual winner's value
+            # ever dip below the CURRENT threshold (i.e. would the
+            # winner have resigned)?  Target: dip rate <= allowed_error.
+            thr = self.calibrator.current
+            if game.get("holdout", True):
+                holdout_games += 1
+                w = int(game["winner"])
+                if thr is not None and w != 0:
+                    import numpy as _np
+
+                    mask = _np.asarray(game["players"]) == w
+                    if mask.any() and float(
+                            _np.asarray(game["values"])[mask].min()) <= thr:
+                        holdout_winner_dips += 1
+            elif game.get("resigned"):
+                resigned_games += 1
             self.calibrator.observe_game(game)
             moves += self.replay.add_game(game)
             if self._segment_games is not None:
@@ -259,6 +282,11 @@ class Pipeline:
             "sims_per_s": sims / max(dt, 1e-9),
             "tree_fresh_rate": actor.tree_fresh_rate,
             "resign_threshold": self.calibrator.current,
+            "resigned_games": resigned_games,
+            "holdout_games": holdout_games,
+            "holdout_winner_dips": holdout_winner_dips,
+            "winner_dip_rate": (holdout_winner_dips / holdout_games
+                                if holdout_games else 0.0),
         }
         logger.info("selfplay: %s", stats)
         stats = dict(self.metrics.log("selfplay", phase="selfplay", **stats))

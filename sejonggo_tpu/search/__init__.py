@@ -7,6 +7,7 @@ from sejonggo_tpu.search.mcts import (
     simulate_round,
 )
 from sejonggo_tpu.search.michi import (
+    MichiSearcher,
     MichiTree,
     michi_genmove_batch,
     michi_search_batch,

@@ -26,6 +26,7 @@ Deliberate deviations from the reference (documented per function):
 from __future__ import annotations
 
 from functools import lru_cache
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -132,6 +133,11 @@ def pat3_mask(board):
     tree_search.py:162-167)."""
     own = board[:, :, 0] == 1
     opp = board[:, :, 1] == 1
+    return pat3_mask_from(own, opp)
+
+
+def pat3_mask_from(own, opp):
+    """pat3_mask from raw (N, N) own/opp masks (stone-grid playouts)."""
     empty = ~(own | opp)
     sym = jnp.where(own, _OWN, jnp.where(opp, _OPP, _EMPTY)).astype(jnp.int32)
     code = jnp.zeros_like(sym)
@@ -212,6 +218,11 @@ def own_true_eye_mask(board):
     never fill these (Position.moves go_heuristics.py:505-521)."""
     own = board[:, :, 0] == 1
     opp = board[:, :, 1] == 1
+    return own_true_eye_from(own, opp)
+
+
+def own_true_eye_from(own, opp):
+    """own_true_eye_mask from raw (N, N) own/opp masks."""
     empty = ~(own | opp)
     eyeish = (
         _shift_fill(own, 1, 0, True)
@@ -576,3 +587,147 @@ def ladder_capture_moves(board):
         big = sizes.reshape(-1)[jnp.clip(seeds, 0, inf - 1)] > 1
         many = many.at[libs].max(big, mode="drop")
     return suggest[:inf].reshape(n, n), many[:inf].reshape(n, n)
+
+
+# ---------------------------------------------------------------------------
+# MXU closure-based group analysis (the playout hot path)
+#
+# The sort-based group machinery above (group_lib_tops / group_labels:
+# per-group fixpoints of sorted top-k merges) measures ~0.3 ms of device
+# throughput PER BOARD-STEP on v5e — hundreds of small sorts inside
+# data-dependent while_loops.  A michi playout runs ~162 such steps per
+# simulation, which made the reference budget (N_SIMS=1400) minutes per
+# move.  This section re-derives the exact same group facts through ONE
+# one-hot reachability closure on the MXU (the CLAUDE.md playbook:
+# permutation/adjacency matmul squaring instead of index chasing):
+#
+#   M = closure(same-color adjacency + I)        log2(N*N) squarings
+#   libset[p] = OR_{q in group(p)} adj_empty[q]  one boolean matmul
+#   lib_count, group size, atari libs, self-atari, capture suggestions,
+#   legality: elementwise reductions of M / libset.
+#
+# bfloat16 operands with a float32 accumulator are exact here (0/1
+# values, row sums <= N*N < 2^8 per partial product), so the closure
+# runs at full MXU rate.  Exactness vs the sort-based path is pinned by
+# tests/test_heuristics.py::test_closure_analysis_matches_sorted.
+
+
+class GroupAnalysis(NamedTuple):
+    """Per-board group facts from one reachability closure.
+
+    Fields (nn = N*N, flat indexing):
+      own, opp, empty: (N, N) bool
+      reach:     (nn, nn) bool — same-color reachability incl. self
+      libset:    (nn, nn) bool — libset[p, q]: q is a liberty of p's
+                 group (rows of empty p: p's own adjacent empties)
+      lib_count: (nn,) int32 — distinct liberties of p's group (stones)
+      size:      (nn,) int32 — stones in p's group (stones; else 0)
+    """
+
+    own: jnp.ndarray
+    opp: jnp.ndarray
+    empty: jnp.ndarray
+    reach: jnp.ndarray
+    libset: jnp.ndarray
+    lib_count: jnp.ndarray
+    size: jnp.ndarray
+
+
+@lru_cache(maxsize=8)
+def _adjacency_np(n: int) -> np.ndarray:
+    """(nn, nn) bool 4-neighborhood adjacency of board points."""
+    nn = n * n
+    a = np.zeros((nn, nn), bool)
+    for y in range(n):
+        for x in range(n):
+            p = y * n + x
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                yy, xx = y + dy, x + dx
+                if 0 <= yy < n and 0 <= xx < n:
+                    a[p, yy * n + xx] = True
+    return a
+
+
+def _bmat(a, b):
+    """Boolean matmul on the MXU: any (..., p, q) @ (..., q, r) -> bool."""
+    return jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) > 0.5
+
+
+def closure_analysis(own, opp) -> GroupAnalysis:
+    """GroupAnalysis of one board from its (N, N) own/opp masks."""
+    import math
+
+    n = own.shape[-1]
+    nn = n * n
+    empty = ~(own | opp)
+    adj = jnp.asarray(_adjacency_np(n))
+    of, pf, ef = own.reshape(nn), opp.reshape(nn), empty.reshape(nn)
+    same = (of[:, None] & of[None, :]) | (pf[:, None] & pf[None, :])
+    m = (adj & same) | jnp.eye(nn, dtype=bool)
+    for _ in range(math.ceil(math.log2(nn))):
+        m = _bmat(m, m)
+    base = adj & ef[None, :]                    # adjacent-empty bits
+    libset = _bmat(m, base)
+    stones_f = of | pf
+    lib_count = jnp.where(stones_f, jnp.sum(libset, -1), 0).astype(jnp.int32)
+    size = jnp.where(
+        stones_f, jnp.sum(m & stones_f[None, :], -1), 0).astype(jnp.int32)
+    return GroupAnalysis(own, opp, empty, m, libset, lib_count, size)
+
+
+def self_atari_from(a: GroupAnalysis):
+    """(N, N) bool — exact self_atari_mask from a closure analysis
+    (same semantics: post-move group left with one distinct liberty,
+    snapback-aware, >=2 captured stones never self-atari)."""
+    n = a.own.shape[-1]
+    nn = n * n
+    adj = jnp.asarray(_adjacency_np(n))
+    of, pf, ef = (a.own.reshape(nn), a.opp.reshape(nn),
+                  a.empty.reshape(nn))
+    base = adj & ef[None, :]
+    own_edge = adj & of[None, :]
+    cand = base | _bmat(own_edge, a.libset)     # empty nbrs + own-grp libs
+    cand = cand & ~jnp.eye(nn, dtype=bool)      # exclude the point itself
+    opp_atari = pf & (a.lib_count == 1)
+    # captures_here[x, q]: adjacent opp stone q in atari whose single
+    # liberty is x — its point becomes a liberty (snapback candidate)
+    captures_here = adj & opp_atari[None, :] & a.libset.T
+    relief = jnp.sum(captures_here * a.size[None, :], -1)
+    cand = cand | captures_here
+    distinct = jnp.sum(cand, -1)
+    return (a.empty & (distinct <= 1).reshape(n, n)
+            & (relief < 2).reshape(n, n))
+
+
+def capture_moves_from(a: GroupAnalysis, include_escapes: bool = True,
+                       self_atari=None):
+    """capture_moves from a closure analysis (same semantics/returns)."""
+    n = a.own.shape[-1]
+    nn = n * n
+    of, pf = a.own.reshape(nn), a.opp.reshape(nn)
+    big = a.size > 1
+    opp_atari = pf & (a.lib_count == 1)
+    # an atari group's libset row is one-hot at its single liberty
+    suggest = jnp.any(opp_atari[:, None] & a.libset, 0)
+    many = jnp.any((opp_atari & big)[:, None] & a.libset, 0)
+    if include_escapes:
+        sa = (self_atari_from(a) if self_atari is None
+              else self_atari).reshape(nn)
+        own_atari = of & (a.lib_count == 1)
+        valid = own_atari[:, None] & a.libset & ~sa[None, :]
+        suggest = suggest | jnp.any(valid, 0)
+        many = many | jnp.any(valid & big[:, None], 0)
+    return (suggest.reshape(n, n) & a.empty, many.reshape(n, n) & a.empty)
+
+
+def illegal_from(a: GroupAnalysis, ko_pt):
+    """engine._illegal_core from a closure analysis: (N*N+1,) bool,
+    pass legal.  ko_pt: (N, N) bool simple-ko candidate."""
+    n = a.own.shape[-1]
+    ko = ko_pt & (jnp.sum(ko_pt) == 1)
+    opp_capturable = a.opp & (a.lib_count == 1).reshape(n, n)
+    breath = _dilate(a.empty) | _dilate(opp_capturable)
+    legal = a.empty & ~ko & breath
+    return jnp.concatenate([~legal.reshape(n * n),
+                            jnp.zeros((1,), bool)])

@@ -86,6 +86,10 @@ def michi_priors(board, last_action, cfg: MichiConfig):
     (reference: cfg_map is None when pos.last is None)."""
     n = board.shape[-3]
     nn = n * n
+    own = board[:, :, 0] == 1
+    opp = board[:, :, 1] == 1
+    analysis = H.closure_analysis(own, opp)
+    sa_grid = H.self_atari_from(analysis)
     pv = jnp.full((nn,), float(cfg.prior_even), jnp.float32)
     pw = jnp.full((nn,), cfg.prior_even / 2.0, jnp.float32)
 
@@ -94,7 +98,7 @@ def michi_priors(board, last_action, cfg: MichiConfig):
         return pv + m * dv, pw + m * dw
 
     # capture / escape suggestions, sized by the analyzed group
-    cap, many = H.capture_moves(board)
+    cap, many = H.capture_moves_from(analysis, self_atari=sa_grid)
     if cfg.use_ladders:
         lcap, lmany = H.ladder_capture_moves(board)
         cap, many = cap | lcap, many | lmany
@@ -104,7 +108,8 @@ def michi_priors(board, last_action, cfg: MichiConfig):
                   cfg.prior_capture_many, cfg.prior_capture_many)
 
     # 3x3 patterns
-    pv, pw = bump(pv, pw, H.pat3_mask(board), cfg.prior_pat3, cfg.prior_pat3)
+    pv, pw = bump(pv, pw, H.pat3_mask_from(own, opp), cfg.prior_pat3,
+                  cfg.prior_pat3)
 
     # CFG locality (d = 1..3), only when a last move exists
     has_last = (last_action >= 0) & (last_action < nn)
@@ -121,7 +126,7 @@ def michi_priors(board, last_action, cfg: MichiConfig):
                   cfg.prior_empty_area, cfg.prior_empty_area)
 
     # self-atari: negative prior
-    pv, pw = bump(pv, pw, H.self_atari_mask(board), cfg.prior_selfatari, 0.0)
+    pv, pw = bump(pv, pw, sa_grid, cfg.prior_selfatari, 0.0)
 
     base = jnp.asarray([float(cfg.prior_even)], jnp.float32)
     return (jnp.concatenate([pv, base]),
@@ -199,8 +204,16 @@ def rave_urgency(tree: MichiTree, node, rave_equiv: float):
 
 
 def _descend(tree: MichiTree, rng, active, cfg: MichiConfig):
-    """One simulation's tree walk.  Returns (tree, leaf_board,
-    leaf_node, path_nodes, path_actions, depth)."""
+    """One simulation's tree walk — STATS ONLY.  Board stepping,
+    expansion priors and the playout all happen batched at round level
+    (michi_search_batch); the while body is pure (C, A) arithmetic so
+    k descents per round cost microseconds, not board floods.
+
+    Returns (tree, stop_parent, stop_act, stop_child, path_n, path_a,
+    depth, amaf): the stop edge is (stop_parent, stop_act);
+    stop_child >= 0 when the walk ended AT an existing node
+    (terminal/depth stop), -1 when it ended at an unexpanded edge.
+    """
     size = tree.node_board.shape[-3]
     a_dim = tree.node_playable.shape[-1]
     max_depth = cfg.max_depth(size)
@@ -224,6 +237,9 @@ def _descend(tree: MichiTree, rng, active, cfg: MichiConfig):
         depth = s["depth"]
         path_n = s["path_n"].at[depth].set(node)
         path_a = s["path_a"].at[depth].set(act)
+        # the visit increment doubles as the virtual loss that
+        # decorrelates the round's later descents (reference
+        # tree_descend comment, tree_search.py:35)
         tree = tree._replace(edge_v=tree.edge_v.at[node, act].add(inc))
         mover = tree.node_board[node][0, 0, 16].astype(jnp.int8)
         amaf = s["amaf"]
@@ -234,48 +250,19 @@ def _descend(tree: MichiTree, rng, active, cfg: MichiConfig):
 
         child = tree.child_idx[node, act]
         has_child = child >= 0
-        can_expand = (
-            (tree.edge_v[node, act] >= cfg.expand_visits)
-            & (tree.n_nodes < tree.node_playable.shape[0])
-            & active
-        )
-        # board at the far end of the edge (for expansion / playout)
-        stepped = engine.step(tree.node_board[node], act)
-
-        def expand(tree):
-            slot = tree.n_nodes
-            pv, pw = michi_priors(stepped, act, cfg)
-            return tree._replace(
-                node_board=tree.node_board.at[slot].set(stepped),
-                node_playable=tree.node_playable.at[slot].set(
-                    playable_mask(stepped)),
-                edge_pv=tree.edge_pv.at[slot].set(pv),
-                edge_pw=tree.edge_pw.at[slot].set(pw),
-                child_idx=tree.child_idx.at[node, act].set(slot),
-                n_nodes=tree.n_nodes + 1,
-            ), slot
-
-        def no_expand(tree):
-            return tree, jnp.asarray(-1, jnp.int32)
-
-        tree, new_slot = lax.cond(~has_child & can_expand, expand,
-                                  no_expand, tree)
         terminal = passes >= 2
         deep = depth + 1 >= max_depth
         stop = ~has_child | terminal | deep
-        leaf_node = jnp.where(
-            has_child & ~terminal & ~deep, -1,
-            jnp.where(has_child, child, new_slot))
-        leaf_board = jnp.where(has_child, tree.node_board[
-            jnp.maximum(child, 0)], stepped)
 
         ns = dict(
             node=jnp.where(has_child, child, node),
             depth=depth + 1, passes=passes, rng=rng,
             path_n=path_n, path_a=path_a, amaf=amaf,
-            stop=stop, leaf_board=jnp.where(stop, leaf_board,
-                                            s["leaf_board"]),
-            leaf_node=jnp.where(stop, leaf_node, s["leaf_node"]),
+            stop=stop,
+            stop_parent=jnp.where(stop, node, s["stop_parent"]),
+            stop_act=jnp.where(stop, act, s["stop_act"]),
+            stop_child=jnp.where(
+                stop, jnp.where(has_child, child, -1), s["stop_child"]),
         )
         return ns, tree
 
@@ -284,12 +271,46 @@ def _descend(tree: MichiTree, rng, active, cfg: MichiConfig):
         passes=jnp.asarray(0, jnp.int32), rng=rng,
         path_n=path_n, path_a=path_a, amaf=amaf,
         stop=jnp.asarray(False),
-        leaf_board=tree.node_board[0], leaf_node=jnp.asarray(0, jnp.int32),
+        stop_parent=jnp.asarray(0, jnp.int32),
+        stop_act=jnp.asarray(a_dim - 1, jnp.int32),
+        stop_child=jnp.asarray(-1, jnp.int32),
     )
     s, tree = lax.while_loop(cond, body, (st0, tree))
     tree = tree._replace(root_v=tree.root_v + inc)
-    return (tree, s["leaf_board"], s["leaf_node"], s["path_n"], s["path_a"],
-            s["depth"], s["amaf"])
+    return (tree, s["stop_parent"], s["stop_act"], s["stop_child"],
+            s["path_n"], s["path_a"], s["depth"], s["amaf"])
+
+
+def _expand_game(tree: MichiTree, parent, act, stop_child, pv, pw,
+                 playable, stepped, active, expand_visits: int):
+    """Attach one expansion candidate to one game's tree (round-level
+    replacement of the old in-descent expansion; the edge must still be
+    unexpanded — two same-round descents can stop at the same edge).
+    Returns (tree, leaf_node) with leaf_node the playout's AMAF target:
+    the existing stop node, the fresh slot, or -1."""
+    child_now = tree.child_idx[parent, act]
+    do = (active
+          & (stop_child < 0)
+          & (child_now < 0)
+          & (tree.edge_v[parent, act] >= expand_visits)
+          & (tree.n_nodes < tree.node_playable.shape[0]))
+    slot = tree.n_nodes
+
+    def expand(tree):
+        return tree._replace(
+            node_board=tree.node_board.at[slot].set(stepped),
+            node_playable=tree.node_playable.at[slot].set(playable),
+            edge_pv=tree.edge_pv.at[slot].set(pv),
+            edge_pw=tree.edge_pw.at[slot].set(pw),
+            child_idx=tree.child_idx.at[parent, act].set(slot),
+            n_nodes=tree.n_nodes + 1,
+        )
+
+    tree = lax.cond(do, expand, lambda t: t, tree)
+    leaf = jnp.where(do, slot,
+                     jnp.where(stop_child >= 0, stop_child,
+                               jnp.where(child_now >= 0, child_now, -1)))
+    return tree, leaf
 
 
 # ---------------------------------------------------------------------------
@@ -307,59 +328,61 @@ def _dilate8(m):
     return out
 
 
-def _playout_step(board, amaf, passes, last, last2, rng, cfg: MichiConfig):
-    """One heuristic playout move for one board (vmapped over games).
+def _playout_choose(stones, side, illegal, last, last2, rngs,
+                    cfg: MichiConfig):
+    """Batched move choice for one playout step.
 
     Mirrors mcplayout's move preference: local capture suggestions
     (prob_capture), local pat3 (prob_pat3), then random non-eye-filling
     moves, with probabilistic self-atari rejection
-    (tree_search.py:177-210)."""
-    n = board.shape[-3]
+    (tree_search.py:177-210).  All group facts come from ONE MXU
+    closure (heuristics.closure_analysis) instead of the sort-based
+    fixpoints — the rewrite that took the playout step from ~0.3 ms to
+    microseconds of device throughput per board."""
+    b, n = stones.shape[0], stones.shape[-1]
     nn = n * n
-    r = jax.random.split(rng, 6)
-
-    legal = ~engine.illegal_moves_mask(board)
-    playable = legal[:nn] & ~H.own_true_eye_mask(board).reshape(-1)
-    sa = H.self_atari_mask(board).reshape(-1)
+    own = stones == side[:, None, None]
+    opp = stones == -side[:, None, None]
+    analysis = jax.vmap(H.closure_analysis)(own, opp)
+    sa = jax.vmap(H.self_atari_from)(analysis).reshape(b, nn)
+    cap_g, _ = jax.vmap(
+        lambda a_, s_: H.capture_moves_from(a_, self_atari=s_))(
+        analysis, sa.reshape(b, n, n))
+    playable = (~illegal[:, :nn]) & ~jax.vmap(H.own_true_eye_from)(
+        own, opp).reshape(b, nn)
+    p3_g = jax.vmap(H.pat3_mask_from)(own, opp).reshape(b, nn)
 
     # locality: the last two moves and their 8-neighborhoods
-    loc = jnp.zeros((nn,), bool)
-    for lm in (last, last2):
-        pt = (jnp.arange(nn) == lm) & (lm >= 0)
-        loc = loc | pt
-        loc = loc | _dilate8(pt.reshape(n, n)).reshape(-1)
+    def loc_window(lm1, lm2):
+        loc = jnp.zeros((nn,), bool)
+        for lm in (lm1, lm2):
+            pt = (jnp.arange(nn) == lm) & (lm >= 0)
+            loc = loc | pt | _dilate8(pt.reshape(n, n)).reshape(-1)
+        return loc
 
-    cap, _ = H.capture_moves(board)
-    cap = cap.reshape(-1) & loc & playable
-    cap = jnp.where(
-        jax.random.bernoulli(r[0], cfg.prob_ssareject), cap & ~sa, cap)
-    cap = cap & jax.random.bernoulli(r[1], cfg.prob_capture)
+    loc = jax.vmap(loc_window)(last, last2)
+    cap_m = cap_g.reshape(b, nn) & loc & playable
+    p3_m = p3_g & loc & playable
 
-    p3 = H.pat3_mask(board).reshape(-1) & loc & playable
-    p3 = jnp.where(
-        jax.random.bernoulli(r[2], cfg.prob_ssareject), p3 & ~sa, p3)
-    p3 = p3 & jax.random.bernoulli(r[3], cfg.prob_pat3)
+    def choose(cap, p3, rnd_full, sam, rng):
+        r = jax.random.split(rng, 6)
+        cap = jnp.where(
+            jax.random.bernoulli(r[0], cfg.prob_ssareject), cap & ~sam, cap)
+        cap = cap & jax.random.bernoulli(r[1], cfg.prob_capture)
+        p3 = jnp.where(
+            jax.random.bernoulli(r[2], cfg.prob_ssareject), p3 & ~sam, p3)
+        p3 = p3 & jax.random.bernoulli(r[3], cfg.prob_pat3)
+        rnd_nosa = rnd_full & ~sam
+        use_nosa = jax.random.bernoulli(r[4], cfg.prob_rsareject) & jnp.any(
+            rnd_nosa)
+        rnd = jnp.where(use_nosa, rnd_nosa, rnd_full)
+        mask = jnp.where(jnp.any(cap), cap, jnp.where(jnp.any(p3), p3, rnd))
+        any_move = jnp.any(mask)
+        logits = jnp.where(mask, 0.0, -jnp.inf)
+        return jnp.where(any_move, jax.random.categorical(r[5], logits),
+                         nn).astype(jnp.int32)
 
-    rnd = playable
-    rnd_nosa = rnd & ~sa
-    use_nosa = jax.random.bernoulli(r[4], cfg.prob_rsareject) & jnp.any(
-        rnd_nosa)
-    rnd = jnp.where(use_nosa, rnd_nosa, rnd)
-
-    mask = jnp.where(jnp.any(cap), cap, jnp.where(jnp.any(p3), p3, rnd))
-    any_move = jnp.any(mask)
-    logits = jnp.where(mask, 0.0, -jnp.inf)
-    act = jnp.where(any_move, jax.random.categorical(r[5], logits),
-                    nn).astype(jnp.int32)
-
-    mover = board[0, 0, 16].astype(jnp.int8)
-    amaf = amaf.at[act].set(
-        jnp.where((act < nn) & (amaf[act] == 0), mover, amaf[act]),
-        mode="drop")
-    new_passes = jnp.where(any_move, 0, passes + 1)
-    done = new_passes >= 2
-    new_board = jnp.where(done, board, engine.step(board, act))
-    return new_board, amaf, new_passes, act, last
+    return jax.vmap(choose)(cap_m, p3_m, playable, sa, rngs)
 
 
 def mc_playout_batch(boards, amaf, rng, cfg: MichiConfig, last=None,
@@ -370,36 +393,72 @@ def mc_playout_batch(boards, amaf, rng, cfg: MichiConfig, last=None,
 
     last/last2: the two moves preceding the playout (reference
     mcplayout seeds its capture/pat3 locality window from pos.last and
-    pos.last2, tree_search.py:181-199); -1 = none."""
+    pos.last2, tree_search.py:181-199); -1 = none.
+
+    Runs on signed stone grids: the step goes through the fused
+    step+legality path (engine.step_and_illegal_stones_batch — the
+    ops/gostep Pallas kernel on TPU), threading each step's
+    next-mover legality into the next iteration, and the move masks
+    come from the MXU closure analysis.  Plane-board semantics
+    (incl. the first step's simple-ko from the history planes) are
+    preserved exactly."""
     b, n = boards.shape[0], boards.shape[-3]
     nn = n * n
     to_move = boards[:, 0, 0, 16].astype(jnp.int32)
+    side = boards[:, 0, 0, 16].astype(jnp.int8)
+    stones = jax.vmap(engine.signed_stones)(boards)
+    # previous position's grid for the first step's ko test: plane pair
+    # 1 holds the current side's/opponent's stones one position ago
+    prev = ((boards[..., 2].astype(jnp.int8)
+             - boards[..., 3].astype(jnp.int8)) * side[:, None, None])
+    illegal = engine.illegal_moves_mask_stones_batch(stones, prev, side)
     if last is None:
         last = jnp.full((b,), -1, jnp.int32)
+    last = jnp.asarray(last, jnp.int32)
     if last2 is None:
         last2 = jnp.full((b,), -1, jnp.int32)
     last2 = jnp.asarray(last2, jnp.int32)
     passes = jnp.zeros((b,), jnp.int32)
     max_steps = cfg.playout_cap(n)
+    rows = jnp.arange(b)
 
     def body(carry, rng_step):
-        boards, amaf, passes, last, last2 = carry
-        rngs = jax.random.split(rng_step, b)
+        stones, illegal, side, amaf, passes, last, last2 = carry
         done = passes >= 2
-        nb, namaf, np_, nlast, nlast2 = jax.vmap(
-            partial(_playout_step, cfg=cfg))(boards, amaf, passes, last,
-                                             last2, rngs)
-        boards = jnp.where(done[:, None, None, None], boards, nb)
-        amaf = jnp.where(done[:, None], amaf, namaf)
-        passes = jnp.where(done, passes, np_)
-        last = jnp.where(done, last, nlast)
-        last2 = jnp.where(done, last2, nlast2)
-        return (boards, amaf, passes, last, last2), None
+        rngs = jax.random.split(rng_step, b)
+        actions = _playout_choose(stones, side, illegal, last, last2,
+                                  rngs, cfg)
+        any_move = actions < nn
+        cur = amaf[rows, actions]
+        upd = any_move & (cur == 0) & ~done
+        amaf = amaf.at[rows, actions].set(
+            jnp.where(upd, side, cur), mode="drop")
+        new_passes = jnp.where(any_move, 0, passes + 1)
+        ends_now = new_passes >= 2
+        # the game-ending second pass is not stepped (stones unchanged
+        # by a pass anyway; matches the plane-board playout exactly)
+        step_actions = jnp.where(done | ends_now, nn, actions)
+        new_stones, new_illegal = engine.step_and_illegal_stones_batch(
+            stones, side, step_actions)
+        frozen = done | ends_now
+        stones = jnp.where(frozen[:, None, None], stones, new_stones)
+        illegal = jnp.where(frozen[:, None], illegal, new_illegal)
+        side = jnp.where(frozen, side, -side)
+        passes = jnp.where(done, passes, new_passes)
+        new_last2 = jnp.where(done, last2, last)
+        new_last = jnp.where(done, last, actions)
+        return (stones, illegal, side, amaf, passes, new_last,
+                new_last2), None
 
     rngs = jax.random.split(rng, max_steps)
-    (final, amaf, _, _, _), _ = lax.scan(
-        body, (boards, amaf, passes, last, last2), rngs)
-    winners = jax.vmap(lambda bd: engine.score(bd, cfg.komi)[0])(final)
+    (stones, _, side, amaf, _, _, _), _ = lax.scan(
+        body, (stones, illegal, side, amaf, passes, last, last2), rngs)
+    # minimal plane boards for area scoring (planes 0/1/16 only)
+    fb = jnp.zeros((b, n, n, engine.NUM_PLANES), jnp.int8)
+    fb = fb.at[..., 0].set((stones == side[:, None, None]).astype(jnp.int8))
+    fb = fb.at[..., 1].set((stones == -side[:, None, None]).astype(jnp.int8))
+    fb = fb.at[..., 16].set(side[:, None, None])
+    winners = jax.vmap(lambda bd: engine.score(bd, cfg.komi)[0])(fb)
     scores = jnp.where(winners == to_move, 1.0, -1.0).astype(jnp.float32)
     scores = jnp.where(winners == 0, 0.0, scores)
     return scores, amaf
@@ -470,13 +529,38 @@ def best_root_stats(tree: MichiTree):
 
 
 def michi_search_batch(trees: MichiTree, rng, cfg: MichiConfig,
-                       n_sims: Optional[int] = None):
+                       n_sims: Optional[int] = None, *, active=None,
+                       sims_done=0, total_sims: Optional[int] = None):
     """Run up to n_sims simulations per tree with the reference's
     early-stop rule (tree_search.py:127-130): stop a game's search when
     its best winrate exceeds fastplay5/fastplay20 past 5%/20% of the
-    budget."""
+    budget.
+
+    Playout parallelism (cfg.playout_parallel = k > 1): each round
+    makes k descents — a descent's edge_v increments double as the
+    virtual loss, so the k paths decorrelate exactly like the
+    reference's in-flight pool simulations (tree_descend comment
+    tree_search.py:35) — then runs ALL k*B playouts as one batched
+    program (the TPU-native pool of tree_search.py:81-107), then
+    applies the k updates.  Early stop is evaluated once per round,
+    the reference's dispatch-batch granularity.
+
+    Chunking (for the axon TPU tunnel, which kills device programs
+    running longer than ~1 min — CLAUDE.md): pass a small ``n_sims``
+    plus the running ``sims_done``/``total_sims`` and thread the
+    returned ``active`` back in, so one logical search spans several
+    short device calls with the fastplay thresholds still computed
+    against the TOTAL budget.
+
+    Returns (trees, active).
+    """
     n = cfg.n_sims if n_sims is None else n_sims
+    total = cfg.n_sims if total_sims is None else total_sims
+    k = max(1, int(cfg.playout_parallel))
     b = trees.node_playable.shape[0]
+    if active is None:
+        active = jnp.ones((b,), bool)
+    sims_done = jnp.asarray(sims_done, jnp.int32)
 
     def cond(st):
         i, _, active, _ = st
@@ -485,31 +569,89 @@ def michi_search_batch(trees: MichiTree, rng, cfg: MichiConfig,
     def body(st):
         i, rng, active, trees = st
         rng, r1, r2 = jax.random.split(rng, 3)
-        r1s = jax.random.split(r1, b)
-        trees, leaf_boards, leaf_nodes, path_n, path_a, depth, amaf = (
-            jax.vmap(partial(_descend, cfg=cfg))(trees, r1s, active))
-        rows = jnp.arange(b)
+
+        def desc_one(trees, rj):
+            rjs = jax.random.split(rj, b)
+            trees, sp, sa_, sc, pn, pa, d, amaf = jax.vmap(
+                partial(_descend, cfg=cfg))(trees, rjs, active)
+            return trees, (sp, sa_, sc, pn, pa, d, amaf)
+
+        trees, (SP, SA, SC, pn, pa, d, amaf) = lax.scan(
+            desc_one, trees, jax.random.split(r1, k))
+
+        # boards at the far end of every stop edge: ONE batched plane
+        # step for all k*B candidates (was: one step per descent
+        # iteration inside the walk)
+        gidx = jnp.arange(b)[None, :]
+        kb = k * b
+        parent_boards = trees.node_board[gidx, SP]       # (k, B, n, n, 17)
+        board_shape = parent_boards.shape[2:]
+        stepped = engine.step_batch(
+            parent_boards.reshape((kb,) + board_shape), SA.reshape(kb))
+
+        # round-level expansion (was: in-descent, where the prior
+        # computation — ladder reads included — executed on every walk
+        # iteration under vmap'd lax.cond): priors/playable for all
+        # candidates in one batch, then a sequential attach that
+        # resolves same-edge conflicts in descent order
+        pv, pw = jax.vmap(lambda bd, la: michi_priors(bd, la, cfg))(
+            stepped, SA.reshape(kb))
+        playable = jax.vmap(playable_mask)(stepped)
+        a_dim = amaf.shape[-1]
+
+        def expand_one(trees, xs):
+            sp, sa_, sc, pvj, pwj, plj, stj = xs
+            trees, leaf = jax.vmap(
+                partial(_expand_game, expand_visits=cfg.expand_visits))(
+                trees, sp, sa_, sc, pvj, pwj, plj, stj, active)
+            return trees, leaf
+
+        stepped = stepped.reshape((k, b) + board_shape)
+        trees, LEAF = lax.scan(
+            expand_one, trees,
+            (SP, SA, SC, pv.reshape(k, b, a_dim), pw.reshape(k, b, a_dim),
+             playable.reshape(k, b, a_dim), stepped))
+
+        # playout boards: the stop node's stored board when the walk
+        # ended at an existing node, else the stepped edge board
+        child_boards = trees.node_board[gidx, jnp.maximum(SC, 0)]
+        leaf_b = jnp.where((SC >= 0)[..., None, None, None],
+                           child_boards, stepped)
+
+        # playout locality seeds per (k, B) leaf: the last two tree
+        # moves of that descent (reference pos.last/pos.last2)
+        last = jnp.take_along_axis(
+            pa, jnp.maximum(d - 1, 0)[..., None], axis=2)[..., 0]
+        last2 = jnp.where(
+            d >= 2,
+            jnp.take_along_axis(
+                pa, jnp.maximum(d - 2, 0)[..., None], axis=2)[..., 0],
+            -1)
         scores, amaf = mc_playout_batch(
-            leaf_boards, amaf, r2, cfg,
-            last=path_a[rows, jnp.maximum(depth - 1, 0)],
-            # second-to-last tree move extends the first playout step's
-            # locality window to two moves, as in the reference
-            # (pos.last2); -1 when the descent was a single edge
-            last2=jnp.where(depth >= 2,
-                            path_a[rows, jnp.maximum(depth - 2, 0)], -1))
-        trees = jax.vmap(_update)(trees, path_n, path_a, depth, leaf_nodes,
-                                  scores, amaf, active)
+            leaf_b.reshape((kb,) + board_shape),
+            amaf.reshape(kb, a_dim), r2, cfg,
+            last=last.reshape(-1), last2=last2.reshape(-1))
+        scores = scores.reshape(k, b)
+        amaf = amaf.reshape(k, b, a_dim)
+
+        def upd_one(trees, xs):
+            pn_j, pa_j, d_j, leaf_j, s_j, am_j = xs
+            return jax.vmap(_update)(trees, pn_j, pa_j, d_j, leaf_j, s_j,
+                                     am_j, active), None
+
+        trees, _ = lax.scan(upd_one, trees,
+                            (pn, pa, d, LEAF, scores, amaf))
         _, wr = jax.vmap(best_root_stats)(trees)
-        i1 = i + 1
-        fast5 = (i1 > n * 0.05) & (wr > cfg.fastplay5)
-        fast20 = (i1 > n * 0.20) & (wr > cfg.fastplay20)
+        i1 = i + k
+        done_total = (sims_done + i1).astype(jnp.float32)
+        fast5 = (done_total > total * 0.05) & (wr > cfg.fastplay5)
+        fast20 = (done_total > total * 0.20) & (wr > cfg.fastplay20)
         active = active & ~(fast5 | fast20)
         return i1, rng, active, trees
 
-    active = jnp.ones((b,), bool)
-    _, _, _, trees = lax.while_loop(
+    _, _, active, trees = lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), rng, active, trees))
-    return trees
+    return trees, active
 
 
 def michi_genmove_batch(boards, rng, cfg: MichiConfig, root_bonus=None,
@@ -530,5 +672,71 @@ def michi_genmove_batch(boards, rng, cfg: MichiConfig, root_bonus=None,
             lambda b, la, rb: new_michi_tree(b, cfg, last_action=la,
                                              root_bonus=rb))(
             boards, last_actions, jnp.asarray(root_bonus, jnp.float32))
-    trees = michi_search_batch(trees, rng, cfg)
+    trees, _ = michi_search_batch(trees, rng, cfg)
     return jax.vmap(best_root_stats)(trees)
+
+
+class MichiSearcher:
+    """Host-chunked michi search: one bounded jitted chunk per device
+    call, tree state carried across calls.  Required on the axon TPU
+    tunnel (single device programs >~1 min crash the worker and a full
+    1400-sim search is minutes); behavior-identical to the one-shot
+    ``michi_genmove_batch`` — the fastplay thresholds see the total
+    budget and the per-game ``active`` flags persist across chunks.
+    The per-chunk host fetch doubles as the silent-failure check the
+    tunnel needs (utils/platform.py)."""
+
+    def __init__(self, cfg: MichiConfig, chunk_sims: int = 256):
+        k = max(1, int(cfg.playout_parallel))
+        self.cfg = cfg
+        self.chunk = max(k, min(chunk_sims, cfg.n_sims))
+        self._new = jax.jit(
+            lambda boards, last: new_michi_tree_batch(boards, cfg, last))
+        self._chunk_fn = jax.jit(
+            lambda t, r, a, sd: michi_search_batch(
+                t, r, cfg, n_sims=self.chunk, active=a, sims_done=sd))
+        self._best = jax.jit(
+            lambda t: jax.vmap(best_root_stats)(t))
+
+    def search(self, boards, rng, last_actions=None, root_bonus=None,
+               active=None):
+        """Full cfg.n_sims search; returns the final trees.  `active`:
+        optional (B,) bool — games to actually search (e.g. ~done in a
+        duel); inactive games keep their fresh root untouched."""
+        b = boards.shape[0]
+        if last_actions is None:
+            last_actions = jnp.full((b,), -1, jnp.int32)
+        else:
+            last_actions = jnp.asarray(last_actions, jnp.int32)
+        if root_bonus is None:
+            trees = self._new(boards, last_actions)
+        else:
+            trees = jax.vmap(
+                lambda bd, la, rb: new_michi_tree(
+                    bd, self.cfg, last_action=la, root_bonus=rb))(
+                boards, last_actions, jnp.asarray(root_bonus, jnp.float32))
+        active = (jnp.ones((b,), bool) if active is None
+                  else jnp.asarray(active, bool))
+        done = 0
+        while done < self.cfg.n_sims:
+            rng, sub = jax.random.split(rng)
+            trees, active = self._chunk_fn(
+                trees, sub, active, jnp.asarray(done, jnp.int32))
+            done += self.chunk
+            # host fetch: chunk boundary sync + verification; also the
+            # all-stopped early exit
+            if not bool(np_any_host(active)):
+                break
+        return trees
+
+    def genmove(self, boards, rng, last_actions=None, root_bonus=None):
+        """(actions, winrates) — chunked equivalent of
+        michi_genmove_batch."""
+        trees = self.search(boards, rng, last_actions, root_bonus)
+        return self._best(trees)
+
+
+def np_any_host(x) -> bool:
+    import numpy as _np
+
+    return bool(_np.asarray(x).any())

@@ -328,3 +328,56 @@ def test_true_eye_mask_diagonal_falsification():
     rows2[2] = ".XO......"
     b2 = _board_from_ascii(rows2)
     assert not np.asarray(H.own_true_eye_mask(b2))[1, 1]
+
+
+def test_closure_analysis_matches_sorted():
+    """The MXU closure-based group analysis (closure_analysis /
+    self_atari_from / capture_moves_from / illegal_from) must agree
+    exactly with the sort-based reference path (group_lib_tops /
+    self_atari_mask / capture_moves / engine.illegal_moves_mask) on
+    random positions — it is the playout hot path rewrite."""
+    import numpy as np
+
+    from sejonggo_tpu.goenv import engine as ge
+
+    rng = np.random.RandomState(11)
+    for trial in range(12):
+        n = 9 if trial % 2 == 0 else 5
+        # random legal-ish position built by replaying random legal moves
+        board = ge.init_board(n)
+        for _ in range(rng.randint(5, 45)):
+            legal = np.where(np.asarray(ge.legal_moves_mask(board)))[0]
+            pts = legal[legal != n * n]
+            if len(pts) == 0:
+                break
+            board = ge.step(board, int(rng.choice(pts)))
+        own = board[:, :, 0] == 1
+        opp = board[:, :, 1] == 1
+        a = H.closure_analysis(own, opp)
+
+        sa_old = np.asarray(H.self_atari_mask(board))
+        sa_new = np.asarray(H.self_atari_from(a))
+        assert (sa_old == sa_new).all(), f"self_atari trial {trial}"
+
+        cap_old, many_old = H.capture_moves(board)
+        cap_new, many_new = H.capture_moves_from(a)
+        assert (np.asarray(cap_old) == np.asarray(cap_new)).all(), trial
+        assert (np.asarray(many_old) == np.asarray(many_new)).all(), trial
+
+        ko_pt = (board[:, :, 2].astype(np.int32)
+                 - board[:, :, 0].astype(np.int32)) == 1
+        ill_old = np.asarray(ge.illegal_moves_mask(board))
+        ill_new = np.asarray(H.illegal_from(a, ko_pt))
+        assert (ill_old == ill_new).all(), trial
+
+        # group facts: lib counts and sizes vs the sorted top-k path
+        empty = ~(own | opp)
+        for stones in (own, opp):
+            tops = H.group_lib_tops(stones, empty, k=3)
+            cnt_old = np.asarray(H.lib_count_capped(tops))
+            cnt_new = np.asarray(a.lib_count).reshape(n, n)
+            st = np.asarray(stones)
+            assert (np.minimum(cnt_new, 3)[st] == cnt_old[st]).all(), trial
+            sz_old = np.asarray(H.group_sizes(stones, H.group_labels(stones)))
+            sz_new = np.asarray(a.size).reshape(n, n)
+            assert (sz_new[st] == sz_old[st]).all(), trial

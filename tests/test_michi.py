@@ -124,20 +124,49 @@ def test_genmove_finds_capture():
 def test_early_stop_freezes_search():
     """With fastplay thresholds at 0 the search stops right after the
     5% mark; with thresholds at 2.0 it runs the full budget
-    (tree_search.py:127-130)."""
+    (tree_search.py:127-130).  playout_parallel=1 pins the strictly
+    sequential per-sim granularity."""
     boards = jnp.stack([board_from_ascii(ATARI_ROWS)])
-    full_cfg = MichiConfig(n_sims=24, use_ladders=False,
+    full_cfg = MichiConfig(n_sims=24, use_ladders=False, playout_parallel=1,
                            fastplay5=2.0, fastplay20=2.0)
-    fast_cfg = MichiConfig(n_sims=24, use_ladders=False,
+    fast_cfg = MichiConfig(n_sims=24, use_ladders=False, playout_parallel=1,
                            fastplay5=-1.0, fastplay20=-1.0)
 
     def run(cfg):
         trees = M.new_michi_tree_batch(boards, cfg)
-        trees = M.michi_search_batch(trees, jax.random.PRNGKey(0), cfg)
+        trees, _ = M.michi_search_batch(trees, jax.random.PRNGKey(0), cfg)
         return int(trees.root_v[0])
 
     assert run(full_cfg) == 24
     assert run(fast_cfg) <= 3  # stops once i > 24*0.05 = 1.2
+
+
+def test_parallel_playouts_match_budget_and_chunking():
+    """playout_parallel=k rounds record k sims each (the reference's
+    playout pool, tree_search.py:81-107); a host-chunked search (the
+    axon-tunnel driver) reaches the same total budget and carries the
+    active flags across chunks."""
+    boards = jnp.stack([engine.init_board(9)] * 2)
+    cfg = MichiConfig(n_sims=24, use_ladders=False, playout_parallel=8,
+                      fastplay5=2.0, fastplay20=2.0)
+    trees = M.new_michi_tree_batch(boards, cfg)
+    trees, active = M.michi_search_batch(trees, jax.random.PRNGKey(0), cfg)
+    assert trees.root_v.tolist() == [24, 24]
+    assert active.tolist() == [True, True]
+
+    searcher = M.MichiSearcher(cfg, chunk_sims=8)
+    t2 = searcher.search(boards, jax.random.PRNGKey(0))
+    assert t2.root_v.tolist() == [24, 24]
+    acts, wrs = searcher.genmove(boards, jax.random.PRNGKey(0))
+    assert acts.shape == (2,)
+
+    # early stop persists across chunks: thresholds below zero stop
+    # every game in the first chunk; later chunks add nothing
+    fast = MichiConfig(n_sims=24, use_ladders=False, playout_parallel=8,
+                       fastplay5=-1.0, fastplay20=-1.0)
+    t3 = M.MichiSearcher(fast, chunk_sims=8).search(
+        boards, jax.random.PRNGKey(0))
+    assert int(t3.root_v[0]) <= 8
 
 
 def test_search_accumulates_rave_stats_and_expands():
@@ -145,7 +174,7 @@ def test_search_accumulates_rave_stats_and_expands():
                       fastplay5=2.0, fastplay20=2.0)
     boards = jnp.stack([engine.init_board(9)] * 2)
     trees = M.new_michi_tree_batch(boards, cfg)
-    trees = jax.jit(lambda t, r: M.michi_search_batch(t, r, cfg))(
+    trees, _ = jax.jit(lambda t, r: M.michi_search_batch(t, r, cfg))(
         trees, jax.random.PRNGKey(2))
     assert int(trees.n_nodes[0]) > 1            # expanded beyond the root
     assert int(trees.edge_av[0].sum()) > 0      # AMAF stats accumulated
