@@ -329,14 +329,27 @@ def main():
             _log(f"19x19 e2e: {e2e19:,.0f} env-steps/s, fresh={fresh19:.3f},"
                  f" reused_nodes={reused:.0f}")
             extras["env_steps_per_s_19x19_e2e"] = round(e2e19, 1)
-            # NOTE: raw (v19) times the eval-capable move_step
-            # (actor/selfplay.py) while e2e runs the continuous cstep
-            # (actor/continuous.py) — two different compiled programs
-            # whose per-step cost differs by ~2% at this point, so the
-            # fraction can read slightly above 1.0; the claim it checks
-            # is "host harvest + replay ingestion cost ~nothing", which
-            # holds either way
-            extras["e2e_fraction_19x19"] = round(e2e19 / v19, 4)
+            # harvest/replay overhead measured on the SAME compiled
+            # program (VERDICT r4 Weak #4: the old fraction divided the
+            # continuous cstep rate by the eval-capable move_step rate —
+            # two different programs — and could read > 1): one more
+            # window of the very same actor with no replay ingestion;
+            # the ratio isolates the host-side on_game work.
+            with _deadline(600, "19x19 e2e control window"):
+                m1 = actor.moves_recorded
+                t1 = time.perf_counter()
+                steps_b = 0
+                while steps_b < 100 and time.perf_counter() - t1 < 300:
+                    actor.run(num_games=10**9, max_steps=25, on_game=None)
+                    steps_b += 25
+                dt_b = time.perf_counter() - t1
+                raw_cstep19 = (actor.moves_recorded - m1) * sims19 / dt_b
+            extras["env_steps_per_s_19x19_no_ingest"] = round(raw_cstep19, 1)
+            extras["replay_ingest_fraction_19x19"] = round(
+                e2e19 / raw_cstep19, 4)
+            # cross-program ratio kept under an honest name (cstep vs
+            # the eval-capable move_step benched as v19)
+            extras["cstep_vs_movestep_ratio_19x19"] = round(e2e19 / v19, 4)
             extras["tree_fresh_rate_19x19"] = round(fresh19, 4)
             extras["reused_nodes_per_move_19x19"] = round(reused, 1)
     except Exception as e:  # noqa: BLE001

@@ -187,10 +187,19 @@ class MichiEngine:
         # search host-chunked — mandatory on the axon TPU tunnel, which
         # kills single device programs over ~1 min (a full 1400-sim
         # search is minutes), and a no-op semantically on CPU.
-        jit_key = (self.komi,)
+        jit_key = (self.komi, bool(self.patterns))
         if self._genmove_jit is None or self._jit_key != jit_key:
             cfg = _dc.replace(self.cfg, komi=self.komi)
-            self._genmove_jit = MichiSearcher(cfg)
+            lut = None
+            if self.patterns:
+                # small-radius patterns reach EVERY in-tree expansion
+                # via the device LUT (tree_node.py:81-86 parity); the
+                # full-radius host matcher still boosts the root below
+                from sejonggo_tpu.search.pattern_lut import \
+                    build_small_pattern_lut
+
+                lut = build_small_pattern_lut(self.patterns)
+            self._genmove_jit = MichiSearcher(cfg, pattern_lut=lut)
             self._jit_key = jit_key
         # the opponent's (or our previous) move drives the root CFG
         # locality prior, the reference's largest prior weights

@@ -77,13 +77,17 @@ def playable_mask(board):
     return jnp.concatenate([pts, ~has_pts[None]])
 
 
-def michi_priors(board, last_action, cfg: MichiConfig):
+def michi_priors(board, last_action, cfg: MichiConfig, pattern_lut=None):
     """(pv, pw): (A,) f32 heuristic priors, reference
     TreeNode.expand tree_node.py:22-89 vectorized over all moves.
 
     last_action: flat index of the move that created this position
     (the parent's edge action), or -1/pass for "no locality prior"
-    (reference: cfg_map is None when pos.last is None)."""
+    (reference: cfg_map is None when pos.last is None).
+    pattern_lut: optional (4^8,) f32 small-radius gridcular pattern
+    table (search/pattern_lut.py) — the device-side form of the
+    reference's large-pattern prior AT EVERY EXPANSION
+    (tree_node.py:81-86); wider diameters stay host/root-side."""
     n = board.shape[-3]
     nn = n * n
     own = board[:, :, 0] == 1
@@ -128,6 +132,16 @@ def michi_priors(board, last_action, cfg: MichiConfig):
     # self-atari: negative prior
     pv, pw = bump(pv, pw, sa_grid, cfg.prior_selfatari, 0.0)
 
+    # device-side small-radius large-pattern prior at every expansion
+    # (tree_node.py:81-86: pv/pw += PRIOR_LARGEPATTERN * sqrt(prob))
+    if pattern_lut is not None:
+        from sejonggo_tpu.search.pattern_lut import lut_bonus_from
+
+        bonus = (lut_bonus_from(own, opp, pattern_lut).reshape(-1)
+                 * cfg.prior_largepattern)
+        pv = pv + bonus
+        pw = pw + bonus
+
     base = jnp.asarray([float(cfg.prior_even)], jnp.float32)
     return (jnp.concatenate([pv, base]),
             jnp.concatenate([pw, base / 2.0]))
@@ -153,7 +167,7 @@ def _empty_tree(capacity: int, size: int) -> MichiTree:
 
 
 def new_michi_tree(board, cfg: MichiConfig, last_action=-1,
-                   root_bonus=None) -> MichiTree:
+                   root_bonus=None, pattern_lut=None) -> MichiTree:
     """Fresh tree rooted at `board` with the root pre-expanded
     (tree_search.py:67-68).  root_bonus: optional (A,) extra prior
     added to pv AND pw (the large-pattern term, patterns.py —
@@ -162,7 +176,8 @@ def new_michi_tree(board, cfg: MichiConfig, last_action=-1,
     capacity = cfg.node_capacity()
     size = board.shape[-3]
     t = _empty_tree(capacity, size)
-    pv, pw = michi_priors(board, jnp.asarray(last_action, jnp.int32), cfg)
+    pv, pw = michi_priors(board, jnp.asarray(last_action, jnp.int32), cfg,
+                          pattern_lut=pattern_lut)
     if root_bonus is not None:
         bonus = jnp.asarray(root_bonus, jnp.float32)
         pv, pw = pv + bonus, pw + bonus
@@ -174,7 +189,8 @@ def new_michi_tree(board, cfg: MichiConfig, last_action=-1,
     )
 
 
-def new_michi_tree_batch(boards, cfg: MichiConfig, last_actions=None):
+def new_michi_tree_batch(boards, cfg: MichiConfig, last_actions=None,
+                         pattern_lut=None):
     """last_actions: (B,) flat index of the move that created each
     position (drives the CFG-distance locality prior, the reference's
     largest prior weights — tree_node.py:61-63 via pos.last); -1 = no
@@ -182,7 +198,8 @@ def new_michi_tree_batch(boards, cfg: MichiConfig, last_actions=None):
     if last_actions is None:
         b = boards.shape[0]
         last_actions = jnp.full((b,), -1, jnp.int32)
-    return jax.vmap(partial(new_michi_tree, cfg=cfg))(
+    return jax.vmap(partial(new_michi_tree, cfg=cfg,
+                            pattern_lut=pattern_lut))(
         boards, last_action=jnp.asarray(last_actions, jnp.int32))
 
 
@@ -530,7 +547,8 @@ def best_root_stats(tree: MichiTree):
 
 def michi_search_batch(trees: MichiTree, rng, cfg: MichiConfig,
                        n_sims: Optional[int] = None, *, active=None,
-                       sims_done=0, total_sims: Optional[int] = None):
+                       sims_done=0, total_sims: Optional[int] = None,
+                       pattern_lut=None):
     """Run up to n_sims simulations per tree with the reference's
     early-stop rule (tree_search.py:127-130): stop a game's search when
     its best winrate exceeds fastplay5/fastplay20 past 5%/20% of the
@@ -594,8 +612,8 @@ def michi_search_batch(trees: MichiTree, rng, cfg: MichiConfig,
         # iteration under vmap'd lax.cond): priors/playable for all
         # candidates in one batch, then a sequential attach that
         # resolves same-edge conflicts in descent order
-        pv, pw = jax.vmap(lambda bd, la: michi_priors(bd, la, cfg))(
-            stepped, SA.reshape(kb))
+        pv, pw = jax.vmap(lambda bd, la: michi_priors(
+            bd, la, cfg, pattern_lut=pattern_lut))(stepped, SA.reshape(kb))
         playable = jax.vmap(playable_mask)(stepped)
         a_dim = amaf.shape[-1]
 
@@ -655,7 +673,7 @@ def michi_search_batch(trees: MichiTree, rng, cfg: MichiConfig,
 
 
 def michi_genmove_batch(boards, rng, cfg: MichiConfig, root_bonus=None,
-                        last_actions=None):
+                        last_actions=None, pattern_lut=None):
     """(actions, winrates): search each board and pick the most visited
     move; callers may resign below cfg.resign_thres (conf.py:89).
     root_bonus: optional (B, A) large-pattern prior (patterns.py).
@@ -666,13 +684,15 @@ def michi_genmove_batch(boards, rng, cfg: MichiConfig, root_bonus=None,
     else:
         last_actions = jnp.asarray(last_actions, jnp.int32)
     if root_bonus is None:
-        trees = new_michi_tree_batch(boards, cfg, last_actions)
+        trees = new_michi_tree_batch(boards, cfg, last_actions,
+                                     pattern_lut=pattern_lut)
     else:
         trees = jax.vmap(
             lambda b, la, rb: new_michi_tree(b, cfg, last_action=la,
-                                             root_bonus=rb))(
+                                             root_bonus=rb,
+                                             pattern_lut=pattern_lut))(
             boards, last_actions, jnp.asarray(root_bonus, jnp.float32))
-    trees, _ = michi_search_batch(trees, rng, cfg)
+    trees, _ = michi_search_batch(trees, rng, cfg, pattern_lut=pattern_lut)
     return jax.vmap(best_root_stats)(trees)
 
 
@@ -686,15 +706,20 @@ class MichiSearcher:
     The per-chunk host fetch doubles as the silent-failure check the
     tunnel needs (utils/platform.py)."""
 
-    def __init__(self, cfg: MichiConfig, chunk_sims: int = 256):
+    def __init__(self, cfg: MichiConfig, chunk_sims: int = 256,
+                 pattern_lut=None):
         k = max(1, int(cfg.playout_parallel))
         self.cfg = cfg
         self.chunk = max(k, min(chunk_sims, cfg.n_sims))
+        self.pattern_lut = (None if pattern_lut is None
+                            else jnp.asarray(pattern_lut, jnp.float32))
         self._new = jax.jit(
-            lambda boards, last: new_michi_tree_batch(boards, cfg, last))
+            lambda boards, last: new_michi_tree_batch(
+                boards, cfg, last, pattern_lut=self.pattern_lut))
         self._chunk_fn = jax.jit(
             lambda t, r, a, sd: michi_search_batch(
-                t, r, cfg, n_sims=self.chunk, active=a, sims_done=sd))
+                t, r, cfg, n_sims=self.chunk, active=a, sims_done=sd,
+                pattern_lut=self.pattern_lut))
         self._best = jax.jit(
             lambda t: jax.vmap(best_root_stats)(t))
 
@@ -713,7 +738,8 @@ class MichiSearcher:
         else:
             trees = jax.vmap(
                 lambda bd, la, rb: new_michi_tree(
-                    bd, self.cfg, last_action=la, root_bonus=rb))(
+                    bd, self.cfg, last_action=la, root_bonus=rb,
+                    pattern_lut=self.pattern_lut))(
                 boards, last_actions, jnp.asarray(root_bonus, jnp.float32))
         active = (jnp.ones((b,), bool) if active is None
                   else jnp.asarray(active, bool))

@@ -113,3 +113,61 @@ def test_gridcular_matches_reference_generator():
         ref = list(gh.neighborhood_gridcular(board_str, c))
         mine = list(P.gridcular_neighborhoods(chars, y, x))
         assert mine == ref, (y, x)
+
+
+def test_small_pattern_lut_matches_host_matcher():
+    """The device LUT (pattern_lut.py) must agree with the host string
+    matcher for diameter-1 patterns: same sqrt(prob) at matching empty
+    points, zero where no pattern matches."""
+    from sejonggo_tpu.search.pattern_lut import (build_small_pattern_lut,
+                                                 lut_bonus_from)
+
+    board = board_from_ascii(ROWS)
+    chars = P._board_chars(board)
+    nbs = []
+    for y, x in ((3, 4), (1, 1)):
+        first8 = [sss for sss in P.gridcular_neighborhoods(chars, y, x)][:8]
+        nbs.append(min(first8))
+    store = P.PatternStore()
+    store.spat = {nbs[0]: 1, nbs[1]: 2}
+    store.probs = {1: 0.25, 2: 0.09}
+
+    lut = build_small_pattern_lut(store)
+    assert lut.shape == (4 ** 8,)
+    assert (lut > 0).sum() >= 2
+
+    bonus = np.asarray(lut_bonus_from(np.asarray(board[:, :, 0] == 1),
+                                      np.asarray(board[:, :, 1] == 1), lut))
+    assert abs(bonus[3, 4] - 0.5) < 1e-6      # sqrt(0.25)
+    assert abs(bonus[1, 1] - 0.3) < 1e-6      # sqrt(0.09)
+    # occupied points never get a bonus
+    assert bonus[3, 3] == 0.0 and bonus[2, 3] == 0.0
+
+
+def test_michi_priors_pattern_lut_term():
+    """michi_priors adds PRIOR_LARGEPATTERN * sqrt(prob) to pv AND pw
+    at pattern points (tree_node.py:81-86) when a LUT is supplied."""
+    import jax.numpy as jnp
+
+    from sejonggo_tpu.config import MichiConfig
+    from sejonggo_tpu.search.michi import michi_priors
+
+    board = board_from_ascii(ROWS)
+    lut = np.zeros(4 ** 8, np.float32)
+    cfg = MichiConfig(use_ladders=False)
+    pv0, pw0 = michi_priors(board, jnp.asarray(-1), cfg)
+    pv1, _ = michi_priors(board, jnp.asarray(-1), cfg,
+                          pattern_lut=jnp.asarray(lut))
+    assert np.allclose(np.asarray(pv0), np.asarray(pv1))  # zero LUT no-op
+
+    lut[:] = 0.5  # every code matches with sqrt(prob)=0.5
+    pv2, pw2 = michi_priors(board, jnp.asarray(-1), cfg,
+                            pattern_lut=jnp.asarray(lut))
+    delta_v = np.asarray(pv2 - pv0)
+    delta_w = np.asarray(pw2 - pw0)
+    expect = 0.5 * cfg.prior_largepattern
+    empty = np.asarray(~((np.asarray(board[:, :, 0]) == 1)
+                         | (np.asarray(board[:, :, 1]) == 1)))
+    assert np.allclose(delta_v[:81][empty.reshape(-1)], expect)
+    assert np.allclose(delta_w[:81][empty.reshape(-1)], expect)
+    assert delta_v[81] == 0.0  # pass slot untouched
