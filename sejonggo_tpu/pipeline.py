@@ -271,6 +271,10 @@ class Pipeline:
 
         actor.run(n, on_game=on_game)
         self._archive_counts[best] = archived
+        if self.archive_selfplay:
+            # reference sweeps empty/short games and prunes beyond the
+            # replay window after each self-play pass
+            self.clean_archives()
         dt = time.time() - t0
         sims = moves * cfg.search.simulations
         stats = {
@@ -328,6 +332,86 @@ class Pipeline:
         with open(os.path.join(d, f"game_{game_n:05d}.sgf"), "w") as f:
             f.write(game_to_sgf(size, self.cfg.go.komi, moves, result,
                                 values=list(map(float, game["values"]))))
+
+    # --- archive maintenance (reference sgfsave.py:83-128 cleanup +
+    # statistics, data_generator.py:36-40 window pruning,
+    # utils.py:147-160 empty-dir sweep) --------------------------------
+
+    def clean_archives(self, min_moves: int = 2) -> dict:
+        """Sweep degenerate archived games and prune the archive to the
+        replay window.
+
+        - h5 game dirs with fewer than `min_moves` move dirs, and empty
+          dirs, are deleted (reference clean_up_empty utils.py:147-160,
+          sgfsave.py:83-96; zero-move game removal
+          selfplay_worker.py:115-118);
+        - the oldest archived games beyond cfg.train.replay_window are
+          deleted, walking model generations oldest-first (reference
+          clean_unused_self_play_data data_generator.py:36-40 via the
+          N_MOST_RECENT_GAMES window of get_training_desc).
+        Returns sweep statistics (the reference's statistics(),
+        sgfsave.py:98-128, folded in as counts).
+        """
+        import re
+        import shutil
+
+        base = os.path.join(self.workdir, self.cfg.selfplay_dir)
+        stats = {"models": 0, "games": 0, "moves": 0,
+                 "swept_short": 0, "pruned_window": 0}
+        if not os.path.isdir(base):
+            return stats
+
+        def model_key(name):
+            m = re.search(r"(\d+)$", name)
+            return int(m.group(1)) if m else -1
+
+        models = sorted((d for d in os.listdir(base)
+                         if os.path.isdir(os.path.join(base, d))),
+                        key=model_key)
+        per_game = []  # (model_idx, path, moves) oldest first
+        for mi, model in enumerate(models):
+            mdir = os.path.join(base, model)
+            for entry in sorted(os.listdir(mdir)):
+                path = os.path.join(mdir, entry)
+                if entry.endswith(".sgf"):
+                    with open(path, errors="replace") as f:
+                        n_moves = f.read().count(";") - 1
+                    if n_moves < min_moves:
+                        os.remove(path)
+                        stats["swept_short"] += 1
+                        continue
+                    per_game.append((mi, path, n_moves))
+                elif os.path.isdir(path) and entry.startswith("game_"):
+                    n_moves = sum(1 for p in os.listdir(path)
+                                  if p.startswith("move_"))
+                    if n_moves < min_moves:
+                        shutil.rmtree(path)
+                        stats["swept_short"] += 1
+                        continue
+                    per_game.append((mi, path, n_moves))
+        total_moves = sum(m for _, _, m in per_game)
+        # prune oldest games until the archived MOVE count fits the
+        # replay window (the window is a sample count, learn/replay.py)
+        window = self.cfg.train.replay_window
+        i = 0
+        while total_moves > window and i < len(per_game):
+            _, path, m = per_game[i]
+            (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
+            total_moves -= m
+            stats["pruned_window"] += 1
+            i += 1
+        kept = per_game[i:]
+        stats["games"] = len(kept)
+        stats["moves"] = total_moves
+        # drop model dirs emptied by the sweep
+        for model in models:
+            mdir = os.path.join(base, model)
+            if os.path.isdir(mdir) and not os.listdir(mdir):
+                os.rmdir(mdir)
+            elif os.path.isdir(mdir):
+                stats["models"] += 1
+        logger.info("archive sweep: %s", stats)
+        return stats
 
     # --- split-role selfplay->train data path (reference pushes every
     # finished game to the training server over scp as it completes,

@@ -158,3 +158,53 @@ def test_train_role_ingests_games_produced_after_start(tmp_path):
     assert tr.replay.total_moves > moves_seen, \
         "trainer must train on games produced after its start"
     assert tr.store.latest_name() == "model_3"
+
+
+def test_archive_maintenance(tmp_path):
+    """clean_archives sweeps short/empty games and prunes the archive
+    to the replay window, oldest generations first (reference
+    sgfsave.py:83-128, data_generator.py:36-40, utils.py:147-160)."""
+    import dataclasses
+
+    from sejonggo_tpu.config import small_9x9
+    from sejonggo_tpu.pipeline import Pipeline
+
+    cfg = small_9x9()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, replay_window=50))
+    pipe = Pipeline(cfg, str(tmp_path), seed=0)
+    base = tmp_path / cfg.selfplay_dir
+
+    def fake_sgf(model, i, moves):
+        d = base / model
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"game_{i:05d}.sgf").write_text(
+            "(;GM[1]SZ[9]RE[B+1]" + ";B[aa]" * moves + ")")
+
+    def fake_h5(model, i, moves):
+        d = base / model / f"game_{i:05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        for m in range(moves):
+            (d / f"move_{m:03d}").mkdir(parents=True, exist_ok=True)
+
+    # model_1: two old sgf games (pruned by window), one short (swept)
+    fake_sgf("model_1", 0, 20)
+    fake_sgf("model_1", 1, 20)
+    fake_sgf("model_1", 2, 1)        # short -> swept
+    # model_2: one empty h5 game dir (swept) + two keepers
+    fake_h5("model_2", 0, 0)         # empty -> swept
+    fake_sgf("model_2", 1, 30)
+    fake_sgf("model_2", 2, 30)
+
+    stats = pipe.clean_archives()
+    assert stats["swept_short"] == 2
+    # window = 50 moves: keepers are the two newest 30-move games (60
+    # moves > 50 still prunes the older of them? oldest-first pruning
+    # stops once within the window): 20+20+30+30=100 -> prune 20, 20,
+    # 30? 100-20=80, 80-20=60, 60-30=30 <= 50 stop -> 1 game left?
+    # pruning stops when total <= window: 100>50 prune g0(20)->80,
+    # 80>50 prune g1(20)->60, 60>50 prune m2g1(30)->30, 30<=50 stop.
+    assert stats["pruned_window"] == 3
+    assert stats["games"] == 1
+    assert stats["moves"] == 30
+    assert not (base / "model_1").exists()       # emptied and removed
+    assert (base / "model_2" / "game_00002.sgf").exists()

@@ -157,10 +157,12 @@ def test_closed_loop_improves_over_generations(tmp_path):
     The learning assertion is the END-STATE duel over 48 games (gate
     verdicts on 16 games carry ~12%-sigma noise).  Generation budget is
     calibrated: under the pytest 8-virtual-device mesh this exact
-    config+seed first promotes at gen 8 (gate 0.69) and again at gens
-    10/13/15 (scripts/calibrate_slow_loop.py, runs logged in commit);
-    12 generations gives the first promotion a 4-gen margin without
-    doubling the runtime."""
+    config+seed first promoted at gen 8 before the round-4 search
+    rework; the r4 closure-backup/squaring changes shifted the RNG
+    trajectory and the round-5 recalibration
+    (scripts/calibrate_slow_loop.py, runs/calibrate_r5.log) first
+    promotes at gen 16 (gate 0.5625), so 22 generations gives the
+    first promotion a 6-gen margin."""
     from sejonggo_tpu.learn import evaluate_models
     from sejonggo_tpu.pipeline import Pipeline
 
@@ -179,7 +181,7 @@ def test_closed_loop_improves_over_generations(tmp_path):
                           lr=2e-2),
         eval=EvalConfig(num_games=16, margin=0.55),
     )
-    GENS = 12
+    GENS = 22
     pipe = Pipeline(cfg, str(tmp_path), seed=3)
     winrates = []
     for gen in range(GENS):
