@@ -25,6 +25,20 @@ from sejonggo_tpu.goenv import engine
 from sejonggo_tpu.io.sgf import parse_sgf
 
 
+def _cpu_device():
+    """Host-side SGF replay must not dispatch per-move engine calls to
+    the accelerator: on the axon TPU tunnel each dispatch costs ~30 ms
+    (CLAUDE.md), which would make the replay-while-training stream
+    (P8, reference fit_generator workers) TPU-bound.  Returns the CPU
+    device for a jax.default_device scope, or None when unavailable."""
+    import jax
+
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def replay_sgf(text: str, size: int):
     """Replay one SGF game into per-move training samples.
 
@@ -43,6 +57,16 @@ def replay_sgf(text: str, size: int):
     elif result.startswith("W+"):
         winner = -1
 
+    cpu = _cpu_device()
+    if cpu is not None:
+        import jax
+
+        with jax.default_device(cpu):
+            return _replay_parsed(parsed, size, winner)
+    return _replay_parsed(parsed, size, winner)
+
+
+def _replay_parsed(parsed, size: int, winner: int):
     board = engine.init_board(size)
     # handicap: AB stones are played as forced-black moves
     # (KGSSelfPlayWorker.py:52-55)

@@ -116,7 +116,8 @@ def duel(a: str, b: str, *, cfg: Config, model_dir: str, games: int,
         res = play_vs_michi(
             predict_a, vars_a, size=cfg.go.size, komi=cfg.go.komi,
             search=cfg.search, michi=michi_cfg, game_batch=games,
-            rng=jax.random.PRNGKey(seed), max_moves=max_moves)
+            rng=jax.random.PRNGKey(seed), max_moves=max_moves,
+            progress_every=10)
         if sgf_dir is not None:
             save_michi_duel_sgfs(
                 res, size=cfg.go.size, komi=cfg.go.komi, outdir=sgf_dir,
@@ -249,6 +250,9 @@ def main():
                         "engine, search/michi.py)")
     parser.add_argument("--michi-sims", type=int, default=None,
                         help="override MichiConfig.n_sims for --b michi")
+    parser.add_argument("--max-moves", type=int, default=None,
+                        help="move cap per game (default 2*N^2); capped "
+                        "games are area-scored")
     parser.add_argument("--games", type=int, default=8)
     parser.add_argument("--preset", choices=["tiny", "strength", "full"],
                         default="tiny")
@@ -267,7 +271,7 @@ def main():
     else:
         res = duel(args.a, args.b, cfg=cfg, model_dir=args.model_dir,
                    games=args.games, seed=args.seed, sgf_dir=args.sgf_dir,
-                   michi_sims=args.michi_sims)
+                   michi_sims=args.michi_sims, max_moves=args.max_moves)
     print(res)
 
 

@@ -121,6 +121,7 @@ def play_vs_michi(
     game_batch: int,
     rng,
     max_moves: Optional[int] = None,
+    progress_every: int = 0,
 ) -> dict:
     """Play `game_batch` games (half with the net as black) against the
     michi engine; returns winrate + per-game records for SGF export.
@@ -204,6 +205,14 @@ def play_vs_michi(
             hh["done"] = hh["done"] | ended
         actions_hist.append(np.concatenate(acts_pair))
         players_hist.append(np.full((game_batch,), player, np.int32))
+        if progress_every and (move_n + 1) % progress_every == 0:
+            import sys as _sys
+
+            live = int((~halves[0]["done"]).sum()
+                       + (~halves[1]["done"]).sum())
+            print(f"[duel] move {move_n + 1}: {live}/{game_batch} live, "
+                  f"{int(np.concatenate([halves[0]['resigned'], halves[1]['resigned']]).sum())} michi resigns",
+                  file=_sys.stderr, flush=True)
         if halves[0]["done"].all() and halves[1]["done"].all():
             break
 
