@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-2)
     ap.add_argument("--games", type=int, default=32)
+    ap.add_argument("--blocks", type=int, default=1)
+    ap.add_argument("--filters", type=int, default=16)
+    ap.add_argument("--end-duel", type=int, default=0,
+                    help="after the loop, duel best vs model_1 over N games")
     args = ap.parse_args()
 
     from sejonggo_tpu.config import (EvalConfig, GoConfig, NetConfig,
@@ -41,8 +45,8 @@ def main():
     cfg = dataclasses.replace(
         small_9x9(),
         go=GoConfig(size=9, komi=5.5),
-        net=NetConfig(blocks=1, filters=16, value_hidden=16,
-                      compute_dtype="float32"),
+        net=NetConfig(blocks=args.blocks, filters=args.filters,
+                      value_hidden=args.filters, compute_dtype="float32"),
         search=SearchConfig(simulations=32, batch_size=8,
                             use_symmetry=True, policy_target="visits",
                             negamax=True, dirichlet_alpha=0.25),
@@ -69,6 +73,25 @@ def main():
                 "loss": round(r["train"].get("loss", float("nan")), 3),
                 "best": best}), flush=True)
         print(json.dumps({"promotions": promos}), flush=True)
+        if args.end_duel and pipe.store.best_name() != "model_1":
+            import jax
+
+            from sejonggo_tpu.learn import evaluate_models
+
+            bs = pipe.load(pipe.store.best_name())
+            m1 = pipe.load("model_1")
+            res = evaluate_models(
+                pipe.predict, pipe.predict, size=9, komi=5.5,
+                search=cfg.search, eval_cfg=EvalConfig(
+                    num_games=args.end_duel, margin=0.55),
+                rng=jax.random.PRNGKey(123),
+                variables_latest={"params": bs.params,
+                                  "batch_stats": bs.batch_stats},
+                variables_best={"params": m1.params,
+                                "batch_stats": m1.batch_stats},
+                game_batch=16)
+            print(json.dumps({"end_duel": res["winrate"],
+                              "best": pipe.store.best_name()}), flush=True)
 
 
 if __name__ == "__main__":
