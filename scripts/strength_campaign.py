@@ -66,6 +66,12 @@ def main():
                     default="strength",
                     help="xl = strength_9x9_xl: 192 sims/move, calibrated "
                     "resignation live (round-5 scaled operating point)")
+    ap.add_argument("--michi-rung", type=int, default=0,
+                    help="also probe promotions vs the REAL michi/RAVE "
+                    "engine at this sims budget (learn/duel_michi); the "
+                    "rung doubles after each confirmed >=0.55 win, "
+                    "climbing toward the reference budget 1400")
+    ap.add_argument("--michi-probe-games", type=int, default=16)
     args = ap.parse_args()
 
     from sejonggo_tpu.config import strength_9x9, strength_9x9_xl
@@ -104,9 +110,22 @@ def main():
               "seconds": round(time.time() - t0, 1)})
         return res["winrate"]
 
+    def michi_duel(model, games, sims, sgf_dir=None):
+        t0 = time.time()
+        res = duel(model, "michi", cfg=cfg, model_dir=model_dir,
+                   games=games, michi_sims=sims, sgf_dir=sgf_dir,
+                   max_moves=130)
+        emit({"event": "michi_probe", "model": model, "michi_sims": sims,
+              "games": games, "winrate": res["winrate"],
+              "michi_resigns": res["michi_resigns"],
+              "elo": round(res["elo_diff_a_vs_b"], 1),
+              "seconds": round(time.time() - t0, 1)})
+        return res["winrate"]
+
     t_start = time.time()
     promotions = []
     last_probed = None
+    michi_rung = args.michi_rung
     done = False
     for gen in range(args.generations):
         t0 = time.time()
@@ -145,6 +164,19 @@ def main():
                               and (gen + 1) % args.probe_every == 0)))
         if probe_due:
             last_probed = best
+            if michi_rung:
+                mwr = michi_duel(best, args.michi_probe_games, michi_rung)
+                if mwr >= 0.55:
+                    cwr = michi_duel(
+                        best, 64, michi_rung,
+                        sgf_dir=os.path.join(args.workdir, "duels",
+                                             f"{best}_vs_michi{michi_rung}"))
+                    if cwr >= 0.55:
+                        emit({"event": "michi_rung_confirmed",
+                              "model": best, "michi_sims": michi_rung,
+                              "winrate": cwr})
+                        michi_rung = min(michi_rung * 2, 1400) \
+                            if michi_rung < 1400 else michi_rung
             wr = heuristic_duel(best, args.probe_games)
             if wr >= args.target_winrate:
                 wr2 = heuristic_duel(
