@@ -23,3 +23,8 @@ A from-scratch rebuild of the capabilities of drsagitn/sejonggo
 """
 
 __version__ = "0.1.0"
+
+from .utils.platform import enable_compilation_cache as _enable_cache
+
+_enable_cache()
+del _enable_cache

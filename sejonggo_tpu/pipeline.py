@@ -238,9 +238,12 @@ class Pipeline:
         holdout_games = 0
         holdout_winner_dips = 0
 
+        games_done = 0
+        log_every = max(1, n // 16)
+
         def on_game(game):
             nonlocal moves, archived, resigned_games, holdout_games
-            nonlocal holdout_winner_dips
+            nonlocal holdout_winner_dips, games_done
             # online check of the calibration property (reference
             # ALLOWED_ERROR=5%, self_play.py:319-330): on each HOLDOUT
             # game (played to the end), did the eventual winner's value
@@ -268,6 +271,11 @@ class Pipeline:
             if self.archive_selfplay:
                 self._archive_game(game, best, archived)
                 archived += 1
+            games_done += 1
+            if games_done % log_every == 0 or games_done == n:
+                logger.info(
+                    "selfplay progress: %d/%d games, %d moves, %.0fs",
+                    games_done, n, moves, time.time() - t0)
 
         actor.run(n, on_game=on_game)
         self._archive_counts[best] = archived
