@@ -33,7 +33,7 @@ REFERENCE_GAMES = "/root/reference/real_games"
 
 
 def make_config(selfplay_games: int, game_batch: int, eval_games: int,
-                train_epochs: int):
+                train_epochs: int, eval_max_moves=None):
     from sejonggo_tpu.config import (EvalConfig, SelfPlayConfig, TrainConfig,
                                      full_19x19)
 
@@ -43,7 +43,8 @@ def make_config(selfplay_games: int, game_batch: int, eval_games: int,
             num_games=selfplay_games, stop_exploration=30,
             resignation_percent=0.10, resignation_cap=-0.90,
             game_batch=game_batch),
-        eval=EvalConfig(num_games=eval_games, margin=0.55),
+        eval=EvalConfig(num_games=eval_games, margin=0.55,
+                        max_moves=eval_max_moves),
         train=dataclasses.replace(TrainConfig(), epochs_per_save=train_epochs),
     )
 
@@ -100,6 +101,9 @@ def main():
                     help="self-play games per generation")
     ap.add_argument("--game-batch", type=int, default=8)
     ap.add_argument("--eval-games", type=int, default=8)
+    ap.add_argument("--eval-max-moves", type=int, default=0,
+                    help="move cap for eval games (0 = engine default "
+                    "2*N*N; capped games are decided by area score)")
     ap.add_argument("--train-epochs", type=int, default=8,
                     help="epochs_per_save for the closed-loop train phase "
                     "(reference 300 is a multi-day budget)")
@@ -139,7 +143,8 @@ def main():
 
     # 2. pipeline: pretrain + closed loop -------------------------------
     cfg = make_config(args.games, args.game_batch, args.eval_games,
-                      args.train_epochs)
+                      args.train_epochs,
+                      eval_max_moves=args.eval_max_moves or None)
     pipe = Pipeline(cfg, args.workdir, seed=args.seed)
     resumed = pipe.load_run_state()
     pipe.init_models()

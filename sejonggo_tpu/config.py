@@ -181,6 +181,12 @@ class EvalConfig:
 
     num_games: int = 100           # EVALUATE_N_GAMES
     margin: float = 0.55           # EVALUATE_MARGIN
+    # Optional move cap for evaluation games; None = the engine default
+    # (2*N*N, reference play.py max-length guard).  Games cut at the cap
+    # are decided by area score — the same rule the reference applies to
+    # every finished-or-not game (self_play.py:250-261).  Useful at
+    # 19x19 where two young nets can grind to the 722-move limit.
+    max_moves: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -629,6 +629,7 @@ class Pipeline:
             variables_latest={"params": ls.params, "batch_stats": ls.batch_stats},
             variables_best={"params": bs.params, "batch_stats": bs.batch_stats},
             game_batch=min(n_games, cfg.selfplay.game_batch),
+            max_moves=cfg.eval.max_moves,
             mesh=self.actor_mesh, mesh_axis=self.mesh_axis,
             collect_games=self.eval_games_to_replay,
         )
