@@ -78,9 +78,17 @@ def _trace_breakdown(trace_dir):
         hc = a.get("hlo_category")
         if hc is None:  # scheduler-level jit_* envelope events
             continue
+        if hc in ("while", "conditional", "call"):
+            # control-flow ENVELOPE ops: their body ops appear as their
+            # own trace events, so counting the envelope double-counts
+            # the whole loop body (seen at the 19x19 point, where the
+            # 16-round fori_loop envelope alone was "50%" of device
+            # time and pushed device_busy past wall time)
+            continue
         ln = a.get("long_name", "")
         ms = e["dur"] / 1000.0
-        if hc == "convolution" or "convolution(" in ln or "%dot" in ln:
+        if (hc.startswith("convolution") or "convolution(" in ln
+                or "%dot" in ln):
             c = "network (conv/dot)"
         elif "pallas" in e["name"] or "pallas" in ln.lower():
             c = "env step+legality (pallas kernel)"

@@ -58,6 +58,13 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--parse-only", action="store_true",
                     help="just re-parse an existing trace dir")
+    ap.add_argument("--full-move", action="store_true",
+                    help="trace one full production move_step instead of a "
+                    "standalone simulate_round.  A standalone round jit "
+                    "forces argument/result layouts at program entry/exit, "
+                    "inflating the copy share vs the fused move program "
+                    "(where XLA picks consistent internal layouts) — this "
+                    "mode measures the real thing.")
     args = ap.parse_args()
 
     if not args.parse_only:
@@ -90,20 +97,47 @@ def main():
         policies0 = jnp.zeros((b, size * size + 1), jnp.float32)
         trees0 = new_tree_batch(policies0, boards, search.capacity())
         pfn = lambda x: predict(variables, x)  # noqa: E731
-        # realistic mid-decision tree state: half the rounds done
-        warm = jax.jit(lambda t: run_search(
-            t, pfn, jax.random.PRNGKey(1), simulations=sims // 2,
-            batch_size=k, use_symmetry=True))(trees0)
-        slot_base = search.capacity() - sims + (sims // 2 // k) * k
-        round_j = jax.jit(lambda t, r: simulate_round(
-            t, pfn, r, batch_size=k, use_symmetry=True,
-            slot_base=slot_base))
-        r0 = jax.random.PRNGKey(2)
-        jax.block_until_ready(round_j(warm, r0))
-        with profile_trace(args.trace_dir):
-            out = round_j(warm, r0)
-            jax.block_until_ready(out)
+        if args.full_move:
+            from sejonggo_tpu.actor.selfplay import _make_move_step
 
+            move_step = _make_move_step(predict, None, search, size, True)
+            state = (boards, trees0, jnp.zeros((b,), bool), None, None,
+                     jnp.zeros((b,), bool), jnp.zeros((b,), bool),
+                     jnp.ones((b,), bool))
+            greedy = jnp.zeros((b,), bool)
+            thr = jnp.full((b,), jnp.nan, jnp.float32)
+            rng = jax.random.PRNGKey(0)
+            for i in range(3):  # compile + warm into mid-game trees
+                rng, sub = jax.random.split(rng)
+                state, _, _ = move_step(state, sub, greedy, thr,
+                                        variables, None)
+            jax.block_until_ready(state)
+            rng, sub = jax.random.split(rng)
+            with profile_trace(args.trace_dir):
+                state, _, _ = move_step(state, sub, greedy, thr,
+                                        variables, None)
+                jax.block_until_ready(state)
+        else:
+            # realistic mid-decision tree state: half the rounds done
+            warm = jax.jit(lambda t: run_search(
+                t, pfn, jax.random.PRNGKey(1), simulations=sims // 2,
+                batch_size=k, use_symmetry=True))(trees0)
+            slot_base = search.capacity() - sims + (sims // 2 // k) * k
+            round_j = jax.jit(lambda t, r: simulate_round(
+                t, pfn, r, batch_size=k, use_symmetry=True,
+                slot_base=slot_base))
+            r0 = jax.random.PRNGKey(2)
+            jax.block_until_ready(round_j(warm, r0))
+            with profile_trace(args.trace_dir):
+                out = round_j(warm, r0)
+                jax.block_until_ready(out)
+
+    from profile_breakdown import _trace_breakdown
+
+    crows, ctotal = _trace_breakdown(args.trace_dir)
+    print(f"device total {ctotal:.2f} ms by category:")
+    for kk, v in crows:
+        print(f"  {kk:45s} {v:8.2f} ms  {v / ctotal:6.1%}")
     rows = _top_ops(args.trace_dir, args.top)
     total = sum(r[0] for r in rows)
     print(f"top {len(rows)} device ops (sum {total:.2f} ms shown):")
