@@ -509,12 +509,18 @@ def leaf_features(trees: Tree, leaf_p, leaf_stones, leaf_side, sym=None):
                              preferred_element_type=jnp.float32
                              ).astype(jnp.bfloat16)
         hit = jnp.stack(hits, axis=2)                       # (B, k, 7)
-        chain_oh = jnp.concatenate(hops, axis=1)            # (B, 7k, C)
+        # LEAF-major row order (leaf*7 + hop): the gathered stone rows
+        # then reshape straight to (B, k, 7, nn).  The earlier
+        # hop-major concat needed a post-einsum (B,7,k,nn)->(B,k,7,nn)
+        # transpose plus a relayout of the (B, 7k, C) one-hot — ~1.2
+        # ms/move of pure copies at the 9x9 bench point
+        # (runs/trace_move_r5.log, copy.1544/1681/1545/1682)
+        chain_oh = jnp.stack(hops, axis=2).reshape(b, k * 7, c)
         chain = jnp.einsum("bgc,bcr->bgr", chain_oh,
                            node_flat.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32
                            ).astype(jnp.int8)
-        chain = chain.reshape(b, 7, k, nn).swapaxes(1, 2)   # (B, k, 7, nn)
+        chain = chain.reshape(b, k, 7, nn)
     else:
         idx = leaf_p
         chain_idx = []
@@ -819,47 +825,48 @@ def _advance_root(tree: Tree, action, new_root_board, reserve: int = 0):
     n_new = jnp.sum(keep).astype(jnp.int32)
     live = idxs < n_new
 
-    # Compaction runs on the MXU: per-node payloads ride a single
-    # (C, ~5A) f32 concat, multiplied by the one-hot permutation matrix
+    # Compaction runs on the MXU: each per-node payload table is
+    # multiplied by the one-hot permutation matrix
     # P[new, old] = keep[old] & (rank[old] == new).  A one-hot matmul
     # selects exactly one term per output, so it is EXACT for every
     # carried value at 3-pass f32 precision (counts < 2^24, indices
     # < C, stones in {-1,0,1}, priors/values f32; bf16x3 splits an f32
     # mantissa exactly) — and it replaces the short-row gather +
-    # argsort that dominated re-rooting cost on TPU.  child_idx is
-    # RECONSTRUCTED by scattering each live node into its parent's edge
-    # instead of relabeling the whole (C, A) table through a
-    # per-element gather (~10x the rest of re-rooting, measured).
+    # argsort that dominated re-rooting cost on TPU.  PER-TABLE
+    # matmuls, deliberately: the earlier single (C, ~5A) wide-concat
+    # variant forced XLA to materialize one buffer whose slices feed
+    # consumers with conflicting layouts — the concat plus THREE
+    # full-table relayout copies of f32[B, C, 412] were ~4.5 ms/move
+    # at the 9x9 bench point (runs/trace_move_r5.log, copy.1785-1787),
+    # the single largest copy cluster of the whole move program.
+    # Separate single-use GEMM outputs take their consumer's layout
+    # straight from the matmul epilogue.  child_idx is RECONSTRUCTED
+    # by scattering each live node into its parent's edge instead of
+    # relabeling the whole (C, A) table through a per-element gather
+    # (~10x the rest of re-rooting, measured).
     perm = (jnp.where(keep, rank, -1)[None, :] == idxs[:, None]).astype(
         jnp.float32)  # (C_new, C_old) one-hot rows
-    wide = jnp.concatenate([
-        tree.node_P,
-        tree.child_N.astype(jnp.float32),
-        tree.child_W,
-        tree.node_legal.astype(jnp.float32),
-        tree.node_stones.reshape(c, nn).astype(jnp.float32),
-        tree.node_side.astype(jnp.float32)[:, None],
-        tree.parent.astype(jnp.float32)[:, None],
-        tree.parent_action.astype(jnp.float32)[:, None],
-    ], axis=1)
-    wide = jax.lax.dot_general(
-        perm, wide, (((1,), (0,)), ((), ())),
-        precision=_COMPACT_PRECISION)
-    off = 0
-    node_P = wide[:, off:off + a_dim]
-    off += a_dim
-    child_N = wide[:, off:off + a_dim].astype(jnp.int32)
-    off += a_dim
-    child_W = wide[:, off:off + a_dim]
-    off += a_dim
-    node_legal = wide[:, off:off + a_dim] != 0
-    off += a_dim
-    node_stones = wide[:, off:off + nn].astype(jnp.int8).reshape(
-        tree.node_stones.shape)
-    off += nn
-    node_side = wide[:, off].astype(jnp.int8)
-    parent_old = wide[:, off + 1].astype(jnp.int32)
-    pa = wide[:, off + 2].astype(jnp.int32)
+
+    def compact(table):
+        return jax.lax.dot_general(
+            perm, table, (((1,), (0,)), ((), ())),
+            precision=_COMPACT_PRECISION)
+
+    node_P = compact(tree.node_P)
+    child_N = compact(tree.child_N.astype(jnp.float32)).astype(jnp.int32)
+    child_W = compact(tree.child_W)
+    node_legal = compact(tree.node_legal.astype(jnp.float32)) != 0
+    node_stones = compact(
+        tree.node_stones.reshape(c, nn).astype(jnp.float32)
+    ).astype(jnp.int8).reshape(tree.node_stones.shape)
+    scal = compact(jnp.stack([
+        tree.node_side.astype(jnp.float32),
+        tree.parent.astype(jnp.float32),
+        tree.parent_action.astype(jnp.float32),
+    ], axis=1))
+    node_side = scal[:, 0].astype(jnp.int8)
+    parent_old = scal[:, 1].astype(jnp.int32)
+    pa = scal[:, 2].astype(jnp.int32)
 
     par = jnp.where(live, new_idx[parent_old], 0).at[0].set(0)
     pa = jnp.where(live, pa, -1).at[0].set(-1)
